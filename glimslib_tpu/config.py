@@ -1,0 +1,51 @@
+"""Global configuration.
+
+Mirrors the role of reference ``glimslib/config.py`` (output paths, external
+tool locations) and the ``USE_ADJOINT`` import-time switch
+(reference ``glimslib/config.py:24``, ``glimslib/fenics_local.py:3-9``).
+
+In the rebuild there is no import-time backend switch: everything is always
+differentiable (JAX), so ``USE_ADJOINT`` is retained only as a no-op
+compatibility flag.
+"""
+
+import os
+
+# -- paths ------------------------------------------------------------------
+base_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+output_dir = os.environ.get("GLIMS_OUTPUT_DIR", os.path.join(base_dir, "output"))
+output_dir_simulation_tmp = os.path.join(output_dir, "simulation_tmp")
+output_dir_testing = os.path.join(output_dir, "testing")
+test_data_dir = os.environ.get(
+    "GLIMS_TEST_DATA_DIR", os.path.join(base_dir, "test_data")
+)
+
+# -- external tool locations (reference config.py:19-21) --------------------
+# These binaries are optional; the drivers in utils/ gate on their presence
+# and fall back to first-party implementations where possible.
+path_to_meshtool_bin = os.environ.get("GLIMS_MESHTOOL_BIN", "meshtool")
+path_to_meshtool_xsd = os.environ.get("GLIMS_MESHTOOL_XSD", "")
+path_to_ants_bin = os.environ.get("GLIMS_ANTS_BIN_DIR", "")
+
+# -- adjoint compatibility flag (reference config.py:24) --------------------
+# The reference selects plain FEniCS vs FEniCS+dolfin-adjoint at import time.
+# Here autodiff is always available; the flag exists for API compatibility.
+USE_ADJOINT = False
+
+# -- numerics ---------------------------------------------------------------
+# Default floating dtype for device computation.  Tests/parity runs use
+# float64 (on CPU); TPU benchmarks use float32 (f64 is emulated on TPU).
+default_dtype = os.environ.get("GLIMS_DTYPE", "float64")
+
+
+def enable_x64():
+    """Enable 64-bit computation in JAX (needed for 1e-6-level parity)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+def get_default_dtype():
+    import numpy as np
+
+    return np.dtype(default_dtype)

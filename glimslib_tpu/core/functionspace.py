@@ -1,0 +1,257 @@
+"""Function spaces and mixed-field handling.
+
+Rebuild of reference ``helper_classes.py`` ``SubSpaces`` (l.66-232) and
+``FunctionSpace`` (l.234-383): a mixed P1-vector x P1-scalar space becomes a
+pair of nodal arrays — ``displacement (n_nodes, d)`` and ``concentration
+(n_nodes,)`` — with pack/unpack helpers to the flat solver vector.  There are
+no DOF maps to manage for P1 (dofs == mesh nodes); P2 subspaces add edge
+dofs via ``Mesh.edges``.
+
+"Projection over a subspace" (reference FunctionSpace.project_over_space,
+l.332-360, used for initial values at helper_classes.py:983-986) is a real
+L2 projection: RHS by quadrature of the expression, mass-matrix CG solve —
+matching FEniCS ``project(..., solver='cg', preconditioner='amg')``
+(simulation_base.py:101-103) rather than nodal interpolation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from glimslib_tpu.core.elements import P1Element, simplex_quadrature
+
+
+class SubSpace:
+    """One subspace of a mixed space (e.g. displacement or concentration)."""
+
+    def __init__(self, name: str, rank: int, degree: int, n_dofs: int, dim: int):
+        self.name = name
+        self.rank = rank  # 0 scalar, 1 vector
+        self.degree = degree
+        self.n_dofs = n_dofs  # scalar dof count (nodes [+ edges for P2])
+        self.dim = dim
+
+    @property
+    def value_size(self) -> int:
+        return self.dim if self.rank == 1 else 1
+
+    @property
+    def shape(self):
+        return (self.n_dofs, self.dim) if self.rank == 1 else (self.n_dofs,)
+
+    @property
+    def size(self) -> int:
+        return self.n_dofs * self.value_size
+
+
+class SubSpaces:
+    """Registry of subspaces (reference helper_classes.py:66-232)."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self._subspaces: Dict[int, SubSpace] = {}
+        self.names: Dict[int, str] = {}
+
+    def set_subspace(self, subspace_id: int, subspace: SubSpace):
+        self._subspaces[subspace_id] = subspace
+        self.names[subspace_id] = subspace.name
+
+    def get_subspace_ids(self):
+        return list(self._subspaces.keys())
+
+    def get_subspace(self, subspace_id: int) -> SubSpace:
+        return self._subspaces[subspace_id]
+
+    def exists(self, subspace_id: int) -> bool:
+        return subspace_id in self._subspaces
+
+
+class FunctionSpace:
+    """Mixed function space over a Mesh.
+
+    ``init_function_space`` takes an element spec: a list of
+    ``(rank, degree)`` per subspace — ``(1, 1)`` = P1 vector,
+    ``(0, 1)`` = P1 scalar, ``(0, 2)`` = P2 scalar (quad models) — and a
+    ``subspace_names`` dict like ``{0: 'displacement', 1: 'concentration'}``
+    (reference simulation_tumor_growth.py:67-72).
+    """
+
+    def __init__(self, mesh, projection_parameters=None, dtype=np.float64):
+        self.mesh = mesh
+        self.dtype = dtype
+        self.projection_parameters = projection_parameters or {
+            "solver_type": "cg",
+            "preconditioner_type": "jacobi",
+        }
+        self.subspaces: Optional[SubSpaces] = None
+        self._edge_nodes = None
+        self._cell_edges = None
+
+    # -- setup --------------------------------------------------------------
+
+    def init_function_space(self, element_spec, subspace_names):
+        mesh = self.mesh
+        self.subspaces = SubSpaces(len(element_spec))
+        for sid, (rank, degree) in enumerate(element_spec):
+            if degree == 1:
+                n_dofs = mesh.n_nodes
+            elif degree == 2:
+                if self._edge_nodes is None:
+                    self._edge_nodes, self._cell_edges = mesh.edges()
+                n_dofs = mesh.n_nodes + len(self._edge_nodes)
+            else:
+                raise ValueError(f"unsupported degree {degree}")
+            ss = SubSpace(
+                name=subspace_names.get(sid, f"subspace_{sid}"),
+                rank=rank,
+                degree=degree,
+                n_dofs=n_dofs,
+                dim=mesh.dim,
+            )
+            self.subspaces.set_subspace(sid, ss)
+
+    @property
+    def has_subspaces(self) -> bool:
+        return self.subspaces is not None and self.subspaces.n > 1
+
+    def get_subspace_names(self):
+        return self.subspaces.names
+
+    # -- dof coordinates ----------------------------------------------------
+
+    def dof_coordinates(self, subspace_id: int) -> np.ndarray:
+        """Coordinates of scalar dofs of a subspace (nodes [+ edge mids])."""
+        ss = self.subspaces.get_subspace(subspace_id)
+        pts = self.mesh.points
+        if ss.degree == 1:
+            return pts
+        mids = pts[self._edge_nodes].mean(axis=1)
+        return np.concatenate([pts, mids], axis=0)
+
+    # -- field containers ---------------------------------------------------
+
+    def zero_function(self) -> Dict[int, np.ndarray]:
+        """Dict of zero arrays per subspace — the 'mixed function'."""
+        return {
+            sid: np.zeros(self.subspaces.get_subspace(sid).shape, self.dtype)
+            for sid in self.subspaces.get_subspace_ids()
+        }
+
+    def pack(self, fields: Dict[int, "np.ndarray"]):
+        """Mixed function dict -> flat vector (solver layout)."""
+        parts = []
+        xp = jnp if any(isinstance(v, jnp.ndarray) for v in fields.values()) else np
+        for sid in sorted(fields):
+            parts.append(xp.ravel(fields[sid]))
+        return xp.concatenate(parts)
+
+    def unpack(self, flat):
+        """Flat vector -> mixed function dict."""
+        out = {}
+        ofs = 0
+        xp = jnp if isinstance(flat, jnp.ndarray) else np
+        for sid in self.subspaces.get_subspace_ids():
+            ss = self.subspaces.get_subspace(sid)
+            out[sid] = xp.reshape(flat[ofs : ofs + ss.size], ss.shape)
+            ofs += ss.size
+        return out
+
+    def split_function(self, fields, subspace_id: int):
+        """Reference FunctionSpace.split_function (helper_classes.py:362-383)."""
+        return fields[subspace_id]
+
+    # -- evaluation / projection --------------------------------------------
+
+    def _eval_expression(self, expr, coords, value_size, time=None):
+        """Evaluate a constant / array / callable expression at coords."""
+        n = len(coords)
+        if callable(expr):
+            try:
+                vals = expr(coords, time) if time is not None else expr(coords)
+            except TypeError:
+                vals = expr(coords)
+            vals = np.asarray(vals, dtype=self.dtype)
+            if value_size == 1:
+                return vals.reshape(n)
+            return vals.reshape(n, value_size)
+        vals = np.asarray(expr, dtype=self.dtype)
+        if vals.ndim == 0:
+            return np.full((n,) if value_size == 1 else (n, value_size), vals)
+        if vals.shape == (value_size,) and value_size > 1:
+            return np.broadcast_to(vals, (n, value_size)).copy()
+        return vals  # already nodal
+
+    def interpolate(self, expr, subspace_id: int, time=None):
+        """Nodal interpolation of an expression onto a subspace."""
+        ss = self.subspaces.get_subspace(subspace_id)
+        coords = self.dof_coordinates(subspace_id)
+        return self._eval_expression(expr, coords, ss.value_size, time)
+
+    def project(self, expr, subspace_id: int, time=None, rtol=1e-12, maxiter=2000):
+        """L2 projection of an expression onto a (P1) subspace:
+        solve M x = b with b_i = ∫ expr φ_i dx by degree-4 quadrature.
+
+        Matches the reference's projected initial values
+        (helper_classes.py:983-986, fenics.project with cg/amg)."""
+        ss = self.subspaces.get_subspace(subspace_id)
+        mesh = self.mesh
+        if ss.degree != 1:
+            # P2 projection via lumped interpolation fallback (TODO: full P2 M)
+            return self.interpolate(expr, subspace_id, time)
+        qp, qw = simplex_quadrature(mesh.dim, 4)
+        vals, _ = P1Element(mesh.dim).tabulate(qp)  # (nq, npe)
+        # physical quad points per cell
+        X = mesh.points[mesh.cells]  # (nc, npe, d)
+        xq = np.einsum("qi,cid->cqd", vals, X)  # (nc, nq, d)
+        import math
+
+        detJ = mesh.cell_volumes * math.factorial(mesh.dim)  # (nc,)
+        fq = self._eval_expression(
+            expr, xq.reshape(-1, mesh.dim), ss.value_size, time
+        )
+        if ss.value_size == 1:
+            fq = fq.reshape(mesh.n_cells, len(qw))
+            loc = np.einsum("c,cq,q,qi->ci", detJ, fq, qw, vals)
+            b = np.zeros(mesh.n_nodes)
+            np.add.at(b, mesh.cells.ravel(), loc.ravel())
+        else:
+            fq = fq.reshape(mesh.n_cells, len(qw), ss.value_size)
+            loc = np.einsum("c,cqa,q,qi->cia", detJ, fq, qw, vals)
+            b = np.zeros((mesh.n_nodes, ss.value_size))
+            np.add.at(b, mesh.cells.ravel(), loc.reshape(-1, ss.value_size))
+        # mass solve with CG (jacobi = lumped mass)
+        from glimslib_tpu.ops.assembly import P1Kernels
+        from glimslib_tpu.solvers.cg import pcg
+
+        k = self._kernels()
+        lumped = k.lumped_mass()
+        if ss.value_size == 1:
+            A = lambda x: k.mass_residual(x)
+            M = lambda r: r / lumped
+            x, _ = pcg(A, jnp.asarray(b), M=M, rtol=rtol, maxiter=maxiter)
+        else:
+            A = lambda x: k.mass_vector_residual(x)
+            M = lambda r: r / lumped[:, None]
+            x, _ = pcg(A, jnp.asarray(b), M=M, rtol=rtol, maxiter=maxiter)
+        return np.asarray(x)
+
+    def project_over_space(self, expr_dict: Dict[int, object], time=None):
+        """Project a dict of per-subspace expressions -> mixed function dict
+        (reference FunctionSpace.project_over_space, helper_classes.py:332-360)."""
+        return {
+            sid: self.project(expr, sid, time) for sid, expr in expr_dict.items()
+        }
+
+    _kernels_cache = None
+
+    def _kernels(self):
+        if self._kernels_cache is None:
+            from glimslib_tpu.ops.assembly import P1Kernels
+
+            self._kernels_cache = P1Kernels(
+                self.mesh, dtype=jnp.float64 if self.dtype == np.float64 else jnp.float32
+            )
+        return self._kernels_cache
