@@ -193,6 +193,8 @@ class BoundaryConditions:
                 "bc_value": bc_dict["bc_value"],
                 "kernels": kern,
                 "subspace_id": subspace_id,
+                "facet_idx": fidx,
+                "facet_cells": m.boundary_facet_cell[fidx],
             }
 
     def von_neumann_residual(self, subspace_id: int, t=0.0, scale=1.0):

@@ -1,0 +1,304 @@
+"""Time-dependent simulation driver.
+
+Rebuild of reference ``glimslib/simulation/simulation_base.py``
+(``FenicsSimulation``, l.36-325).  Same orchestration API:
+
+    sim = Model(mesh)
+    sim.setup_global_parameters(label_function=..., domain_names=...,
+                                boundaries=..., dirichlet_bcs=...,
+                                von_neumann_bcs=...)
+    sim.setup_model_parameters(iv_expression=..., diffusion=..., ...,
+                               sim_time=..., sim_time_step=...)
+    sim.run(keep_nth=..., save_method='xdmf'|'vtk'|None, plot=...)
+
+but the hot path is TPU-native: the implicit-Euler while-loop
+(simulation_base.py:277-312) becomes a jitted ``jax.lax.scan`` whose body is
+the block-triangular Newton step (solvers/coupled.py).  Solver
+non-convergence freezes the carried state and flags the remaining steps,
+matching the reference's graceful shutdown semantics
+(simulation_base.py:284-288, 301-305) without data-dependent early exit.
+
+Recording: every step's state is a scan output; the host keeps every
+``keep_nth`` step in :class:`~glimslib_tpu.core.results.Results`
+(reference keep_nth logic simulation_base.py:289-294).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from abc import ABC, abstractmethod
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glimslib_tpu import config
+from glimslib_tpu.core.bcs import BoundaryConditions
+from glimslib_tpu.core.functionspace import FunctionSpace
+from glimslib_tpu.core.params import Parameters
+from glimslib_tpu.core.results import Results
+from glimslib_tpu.core.subdomains import SubDomains
+from glimslib_tpu.ops.assembly import P1Kernels
+from glimslib_tpu.solvers.coupled import StepConfig, make_step
+
+logger = logging.getLogger(__name__)
+
+
+class Simulation(ABC):
+    """Abstract time-dependent simulation (reference FenicsSimulation)."""
+
+    # subspace ids, mirroring the reference models
+    SUBSPACE_DISPLACEMENT = 0
+    SUBSPACE_CONCENTRATION = 1
+
+    def __init__(self, mesh, time_dependent=True, dtype=None):
+        self.logger = logging.getLogger(type(self).__name__)
+        self.mesh = mesh
+        self.geometric_dimension = mesh.dim
+        self.time_dependent = time_dependent
+        self.dtype = dtype or (
+            jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        )
+        self.projection_parameters = {
+            "solver_type": "cg",
+            "preconditioner_type": "jacobi",
+        }
+        self.functionspace = FunctionSpace(
+            mesh, projection_parameters=self.projection_parameters
+        )
+        self._define_model_params()
+        self.kernels = P1Kernels(mesh, dtype=self.dtype)
+        self._simulate_jit = None
+        self.step_config = StepConfig()
+
+    # -- abstract model surface (reference simulation_base.py:111-158) ------
+
+    @abstractmethod
+    def _define_model_params(self):
+        self.required_params = []
+        self.optional_params = []
+
+    @abstractmethod
+    def _setup_functionspace(self):
+        ...
+
+    @abstractmethod
+    def make_theta(self, params: Dict):
+        """Build the differentiable coefficient pytree from parameter values
+        (scalars or per-tissue dicts)."""
+
+    @abstractmethod
+    def rd_residual(self, c, c_prev, theta, t):
+        ...
+
+    @abstractmethod
+    def el_residual(self, u, c, theta, t):
+        ...
+
+    @abstractmethod
+    def rd_diag(self, theta):
+        ...
+
+    @abstractmethod
+    def el_diag(self, theta):
+        ...
+
+    def run_for_adjoint(self, parameters, output_dir=None):
+        raise NotImplementedError
+
+    # -- global setup (reference simulation_base.py:160-198) ----------------
+
+    def setup_global_parameters(
+        self,
+        label_function=None,
+        subdomains=None,
+        domain_names=None,
+        boundaries=None,
+        dirichlet_bcs=None,
+        von_neumann_bcs=None,
+    ):
+        self.logger.info("-- Setting up global parameters")
+        self.subdomains = SubDomains(self.mesh)
+        self.subdomains.setup_subdomains(
+            label_function=label_function, subdomains=subdomains
+        )
+        self.subdomains.setup_boundaries(
+            tissue_map=domain_names, boundary_fct_dict=boundaries
+        )
+        self.subdomains.setup_measures()
+        self._setup_functionspace()
+        self.bcs = BoundaryConditions(self.functionspace, self.subdomains)
+        self.bcs.setup_dirichlet_boundary_conditions(dirichlet_bcs)
+        self.bcs.setup_von_neumann_boundary_conditions(von_neumann_bcs)
+        self._simulate_jit = None
+
+    # -- model params (reference simulation_base.py:200-217) ----------------
+
+    def setup_model_parameters(self, iv_expression, **kwargs):
+        self._define_model_params()
+        self.params = Parameters(
+            self.functionspace, self.subdomains, time_dependent=self.time_dependent
+        )
+        self.params.set_initial_value_expressions(iv_expression)
+        self.params.define_required_params(self.required_params)
+        self.params.define_optional_params(self.optional_params)
+        self.params.init_parameters(kwargs)
+        self._simulate_jit = None
+
+    # -- the jitted time loop ----------------------------------------------
+
+    def _bc_masks_and_values(self):
+        mask_u, _ = self.bcs.dirichlet_mask_and_values(self.SUBSPACE_DISPLACEMENT)
+        mask_c, _ = self.bcs.dirichlet_mask_and_values(self.SUBSPACE_CONCENTRATION)
+
+        def gu(t):
+            return self.bcs.dirichlet_mask_and_values(
+                self.SUBSPACE_DISPLACEMENT, t
+            )[1]
+
+        def gc(t):
+            return self.bcs.dirichlet_mask_and_values(
+                self.SUBSPACE_CONCENTRATION, t
+            )[1]
+
+        return mask_u, mask_c, gu, gc
+
+    def _build_step(self):
+        mask_u, mask_c, gu, gc = self._bc_masks_and_values()
+        return make_step(
+            rd_residual=self.rd_residual,
+            el_residual=self.el_residual,
+            rd_diag=self.rd_diag,
+            el_diag=self.el_diag,
+            mask_c=mask_c,
+            mask_u=mask_u,
+            bc_values_c=gc,
+            bc_values_u=gu,
+            config=self.step_config,
+        )
+
+    def build_simulate_fn(self, n_steps: int, dt: float):
+        """Pure jittable function: (theta, u0, c0) -> trajectory.
+
+        Returns arrays (n_steps, ...) for u, c and the per-step converged
+        flags.  Differentiable w.r.t. theta (IFT adjoint per step)."""
+        step = self._build_step()
+
+        def simulate(theta, u0, c0):
+            def body(carry, i):
+                u_prev, c_prev, ok = carry
+                t = (i + 1.0) * dt
+                u, c, conv = step(theta, u_prev, c_prev, t)
+                ok_new = jnp.logical_and(ok, conv)
+                u_out = jnp.where(ok_new, u, u_prev)
+                c_out = jnp.where(ok_new, c, c_prev)
+                return (u_out, c_out, ok_new), (u_out, c_out, ok_new)
+
+            init = (u0, c0, jnp.asarray(True))
+            (_, _, ok), traj = jax.lax.scan(
+                body, init, jnp.arange(n_steps, dtype=self.dtype)
+            )
+            return traj
+
+        return simulate
+
+    # -- run (reference simulation_base.py:236-317) -------------------------
+
+    def run(
+        self,
+        keep_nth=1,
+        save_method="xdmf",
+        clear_all=False,
+        plot=False,
+        output_dir=None,
+    ):
+        output_dir = output_dir or config.output_dir_simulation_tmp
+        if self.geometric_dimension == 3:
+            plot = False
+        self.logger.info("-- Computing solutions")
+        self.results = Results(
+            self.functionspace, self.subdomains, output_dir=output_dir
+        )
+        self.results.save_solution_start(method=save_method, clear_all=clear_all)
+        if plot:
+            from glimslib_tpu.visualisation.plotting import Plotting
+
+            self.plotting = Plotting(
+                self.results, output_dir=os.path.join(output_dir, "plots")
+            )
+        # initial values: L2-projected (reference helper_classes.py:983-986)
+        iv = self.params.create_initial_value_function()
+        u0 = jnp.asarray(iv[self.SUBSPACE_DISPLACEMENT], dtype=self.dtype)
+        c0 = jnp.asarray(iv[self.SUBSPACE_CONCENTRATION], dtype=self.dtype)
+        # clamp initial values to Dirichlet data at t=0
+        mask_u, mask_c, gu, gc = self._bc_masks_and_values()
+        u0 = jnp.where(mask_u, gu(0.0), u0)
+        c0 = jnp.where(mask_c, gc(0.0), c0)
+
+        theta = self.make_theta(self.params.as_dict())
+        dt = float(self.params.sim_time_step)
+        sim_time = float(self.params.sim_time)
+        n_steps = int(round(sim_time / dt + 1e-9))
+
+        simulate = jax.jit(self.build_simulate_fn(n_steps, dt))
+        u_traj, c_traj, ok_traj = simulate(theta, u0, c0)
+        u_traj = np.asarray(u_traj)
+        c_traj = np.asarray(c_traj)
+        ok_traj = np.asarray(ok_traj)
+
+        # record t=0 (reference simulation_base.py:266-274)
+        recording_step = 0
+        self.results.add_to_results(
+            0.0, 0, 0, {0: np.asarray(u0), 1: np.asarray(c0)}
+        )
+        self.results.save_solution(0, 0.0, method=save_method)
+        if plot:
+            self.plotting.plot_all(0)
+        n_ok = int(ok_traj.sum())
+        if n_ok < n_steps:
+            self.logger.warning(
+                "Solver did not converge at step %d -- simulation frozen "
+                "from there (reference: shutdown, simulation_base.py:284-288)",
+                n_ok + 1,
+            )
+        for k in range(n_steps):
+            time_step = k + 1
+            if not ok_traj[k]:
+                break
+            if time_step % keep_nth == 0:
+                recording_step += 1
+                t = (k + 1) * dt
+                self.results.add_to_results(
+                    t, time_step, recording_step, {0: u_traj[k], 1: c_traj[k]}
+                )
+                self.results.save_solution(recording_step, t, method=save_method)
+                if plot:
+                    self.plotting.plot_all(recording_step)
+        self.results.save_solution_end(method=save_method)
+        self.results.save_solution_hdf5()
+        self.solution = {0: u_traj[n_ok - 1] if n_ok else np.asarray(u0),
+                         1: c_traj[n_ok - 1] if n_ok else np.asarray(c0)}
+        return self.solution
+
+    # -- reload (reference simulation_base.py:319-325) ----------------------
+
+    def reload_from_hdf5(self, path_to_hdf5, output_dir=None):
+        output_dir = output_dir or config.output_dir_simulation_tmp
+        self.logger.info("-- Reloading from hdf5")
+        self.results = Results(
+            self.functionspace, self.subdomains, output_dir=output_dir
+        )
+        self.results.data.load_from_hdf5(path_to_hdf5)
+
+    # -- postprocess hook ----------------------------------------------------
+
+    def init_postprocess(self, output_dir=None):
+        from glimslib_tpu.postprocess import PostProcessTumorGrowth
+
+        self.postprocess = PostProcessTumorGrowth(
+            self.results, self.params, output_dir=output_dir or "."
+        )
+        return self.postprocess

@@ -1,0 +1,177 @@
+"""Mechanically-coupled reaction-diffusion tumor-growth model.
+
+Rebuild of reference ``glimslib/simulation/simulation_tumor_growth.py``
+(``TumorGrowth``): the weak forms at l.110-122,
+
+  F_m  = inner(sigma(u), eps(v)) dx - inner(sigma(v), c*k*I) dx
+         - inner(body_force, v) dx - vonNeumann(v)
+  F_rd = c v dx + dt D grad(c).grad(v) dx - c_prev v dx
+         - dt rho c (1-c) v dx - dt source v dx - dt vonNeumann(D v)
+
+with parameters ``diffusion, coupling, proliferation, E, poisson``
+(l.74-76), each a scalar or a per-tissue dict (DiscontinuousScalar
+analogue).  The mixed P1-vector x P1 space (l.67-72) maps to nodal arrays
+``u (n_nodes, d)`` / ``c (n_nodes,)``.
+
+TPU-native differences (by design, not omission):
+- heterogeneous coefficients are ``values[cell_labels]`` gathers and remain
+  differentiable — the reference's DiscontinuousScalar+adjoint limitation
+  (docstring l.40-46) does not exist here;
+- the SNES Newton solve (l.126-140) is the block-triangular Newton-CG of
+  solvers/coupled.py with IFT adjoint.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from glimslib_tpu import config
+from glimslib_tpu.core.params import TissueCoefficient
+from glimslib_tpu.models.base import Simulation
+from glimslib_tpu.ops import forms
+
+
+class TumorGrowth(Simulation):
+    def __init__(self, mesh, time_dependent=True, dtype=None):
+        super().__init__(mesh, time_dependent=time_dependent, dtype=dtype)
+        self.units = {
+            "motility": "m^2/s",
+            "Emodulus": "N/m^2",
+            "none": "",
+            "growth_rate": "1/s",
+        }
+
+    def _define_model_params(self):
+        # reference simulation_tumor_growth.py:74-76
+        self.required_params = ["diffusion", "coupling", "proliferation", "E", "poisson"]
+        self.optional_params = ["body_force", "source_term"]
+
+    def _setup_functionspace(self):
+        # reference simulation_tumor_growth.py:67-72: P1 vector x P1 scalar
+        self.functionspace.init_function_space(
+            [(1, 1), (0, 1)], {0: "displacement", 1: "concentration"}
+        )
+
+    # -- coefficients --------------------------------------------------------
+
+    def _per_cell(self, value):
+        """Scalar stays scalar; TissueCoefficient/dict becomes per-cell."""
+        if isinstance(value, TissueCoefficient):
+            return value.per_cell()
+        if isinstance(value, dict):
+            lookup = self.subdomains.tissue_value_array(value)
+            return jnp.asarray(lookup, dtype=self.dtype)[
+                jnp.asarray(self.subdomains.cell_labels.astype(np.int32))
+            ]
+        return jnp.asarray(value, dtype=self.dtype)
+
+    def make_theta(self, params: Dict):
+        E = self._per_cell(params["E"])
+        nu = self._per_cell(params["poisson"])
+        theta = {
+            "D": self._per_cell(params["diffusion"]),
+            "rho": self._per_cell(params["proliferation"]),
+            "coupling": jnp.asarray(params["coupling"], dtype=self.dtype),
+            "mu": forms.compute_mu(E, nu),
+            "lam": forms.compute_lambda(E, nu),
+            "dt": jnp.asarray(float(params["sim_time_step"]), dtype=self.dtype),
+            "body_force": jnp.asarray(
+                params.get("body_force")
+                if params.get("body_force") is not None
+                else np.zeros(self.mesh.dim),
+                dtype=self.dtype,
+            ),
+            "source": self._per_cell(params.get("source_term", 0.0)),
+        }
+        return theta
+
+    # -- residuals -----------------------------------------------------------
+
+    def _vn_rd_term(self, theta, t):
+        """- dt * sum_bcs ∫ D q φ ds  (reference l.120: test function scaled
+        by diff_const).  Per-facet D taken from the owning cell when D is
+        heterogeneous."""
+        out = None
+        for name, bc in self.bcs.von_neumann_bcs.items():
+            if bc["subspace_id"] != self.SUBSPACE_CONCENTRATION:
+                continue
+            kern = bc["kernels"]
+            q = bc["bc_value"]
+            nfn = self.mesh.dim  # nodes per facet
+            if callable(q):
+                coords = kern.facet_coords
+                qv = jnp.reshape(
+                    q(coords.reshape(-1, coords.shape[-1]), t), coords.shape[:2]
+                )
+            else:
+                qv = jnp.broadcast_to(
+                    jnp.asarray(q, self.dtype), (kern.n_facets, nfn)
+                )
+            D = theta["D"]
+            if D.ndim == 0:
+                qv = qv * D
+            else:
+                qv = qv * D[jnp.asarray(bc["facet_cells"])][:, None]
+            term = kern.scalar_flux_residual(qv)
+            out = term if out is None else out + term
+        return out
+
+    def rd_residual(self, c, c_prev, theta, t):
+        r = self.kernels.rd_residual(
+            c,
+            c_prev,
+            theta["D"],
+            theta["rho"],
+            theta["dt"],
+            source=theta["source"],
+            conc_max=1.0,
+        )
+        vn = self._vn_rd_term(theta, t)
+        if vn is not None:
+            r = r - theta["dt"] * vn
+        return r
+
+    def el_residual(self, u, c, theta, t):
+        r = self.kernels.elasticity_residual(
+            u, c, theta["mu"], theta["lam"], theta["coupling"],
+            body_force=theta["body_force"],
+        )
+        vn = self.bcs.von_neumann_residual(self.SUBSPACE_DISPLACEMENT, t)
+        if vn is not None:
+            r = r - vn
+        return r
+
+    def rd_diag(self, theta):
+        return self.kernels.rd_mass_stiffness_diag(theta["D"], theta["rho"], theta["dt"])
+
+    def el_diag(self, theta):
+        return self.kernels.elasticity_diag(theta["mu"], theta["lam"])
+
+    # -- adjoint runners (reference simulation_tumor_growth.py:142-170) ------
+
+    def run_for_adjoint(self, parameters, output_dir=None):
+        """Update (diffusion, proliferation, coupling) then run."""
+        self.params.diffusion, self.params.proliferation, self.params.coupling = (
+            parameters
+        )
+        self.run(keep_nth=1, save_method=None, clear_all=False, plot=False,
+                 output_dir=output_dir or config.output_dir_simulation_tmp)
+        return self.solution
+
+    def run_for_adjoint2(self, parameters, output_dir=None):
+        """2-parameter variant (diffusion, proliferation)."""
+        self.params.diffusion, self.params.proliferation = parameters
+        self.run(keep_nth=1, save_method=None, clear_all=False, plot=False,
+                 output_dir=output_dir or config.output_dir_simulation_tmp)
+        return self.solution
+
+    def init_postprocess(self, output_dir=None):
+        from glimslib_tpu.postprocess import PostProcessTumorGrowth
+
+        self.postprocess = PostProcessTumorGrowth(
+            self.results, self.params, output_dir=output_dir or "."
+        )
+        return self.postprocess
