@@ -1,0 +1,192 @@
+"""Composable overlay plotting of fields, images and segmentations.
+
+Rebuild of reference ``visualisation/plotting.py`` (541 LoC):
+- scalar fields on triangulations with colorbars (reference plotting.py:121-160),
+- vector fields as quiver/streamlines on an interpolation grid (l.44-117),
+- background image + segmentation contours (l.198-239),
+- the generic ``plot(plot_object_list)`` overlay engine (l.241-337),
+- the ``show_img_seg_f`` convenience wrapper (l.340-389),
+- the in-loop ``Plotting`` class (helper_classes.py:1456-1517) producing a
+  PNG per subspace per recorded step.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from glimslib_tpu.visualisation import helpers
+
+logger = logging.getLogger(__name__)
+
+
+def plot_scalar_field(mesh, values, path=None, title=None, cmap="viridis",
+                      ax=None, levels=None, colorbar=True, alpha=1.0):
+    """Filled-contour plot of a nodal scalar on a 2D mesh
+    (reference plot_scalar_field, plotting.py:121-160)."""
+    import matplotlib.pyplot as plt
+
+    tri = helpers.mesh_to_triangulation(mesh)
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(6, 5))
+    vals = np.asarray(values, dtype=np.float64)
+    tpc = ax.tricontourf(tri, vals, levels=levels or 32, cmap=cmap, alpha=alpha)
+    if colorbar:
+        ax.figure.colorbar(tpc, ax=ax, shrink=0.8)
+    if title:
+        ax.set_title(title)
+    ax.set_aspect("equal")
+    if own_fig:
+        return helpers.show_plot(path, ax.figure)
+    return ax
+
+
+def plot_vector_field(mesh, values, path=None, title=None, mode="quiver",
+                      ax=None, n_grid=30, color="k", alpha=1.0):
+    """Quiver/streamline plot of a nodal vector field
+    (reference plotting.py:44-117)."""
+    import matplotlib.pyplot as plt
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(6, 5))
+    vals = np.asarray(values)
+    if mode == "quiver":
+        pts = mesh.points
+        stride = max(1, len(pts) // (n_grid * n_grid))
+        ax.quiver(
+            pts[::stride, 0], pts[::stride, 1],
+            vals[::stride, 0], vals[::stride, 1],
+            color=color, alpha=alpha,
+        )
+    else:  # streamlines on an interpolation grid
+        X, Y, (U, V) = helpers.interpolate_to_grid(mesh, vals, n_grid, n_grid)
+        ax.streamplot(X, Y, np.nan_to_num(U), np.nan_to_num(V), color=color)
+    if title:
+        ax.set_title(title)
+    ax.set_aspect("equal")
+    if own_fig:
+        return helpers.show_plot(path, ax.figure)
+    return ax
+
+
+def plot_image(image, origin=(0, 0), spacing=(1, 1), path=None, ax=None,
+               cmap="gray", alpha=1.0, colorbar=False):
+    """Background 2D image (reference sitk-image plotting, plotting.py:198-219)."""
+    import matplotlib.pyplot as plt
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(6, 5))
+    img = np.asarray(image)
+    ny, nx = img.shape
+    extent = (
+        origin[0], origin[0] + nx * spacing[0],
+        origin[1], origin[1] + ny * spacing[1],
+    )
+    im = ax.imshow(img, origin="lower", extent=extent, cmap=cmap, alpha=alpha)
+    if colorbar:
+        ax.figure.colorbar(im, ax=ax, shrink=0.8)
+    if own_fig:
+        return helpers.show_plot(path, ax.figure)
+    return ax
+
+
+def plot_segmentation_contours(image, origin=(0, 0), spacing=(1, 1), ax=None,
+                               path=None, colors="r"):
+    """Label-map contour overlay (reference plotting.py:220-239)."""
+    import matplotlib.pyplot as plt
+
+    own_fig = ax is None
+    if own_fig:
+        fig, ax = plt.subplots(figsize=(6, 5))
+    img = np.asarray(image, dtype=np.float64)
+    ny, nx = img.shape
+    xs = origin[0] + spacing[0] * (np.arange(nx) + 0.5)
+    ys = origin[1] + spacing[1] * (np.arange(ny) + 0.5)
+    levels = np.unique(img)
+    levels = (levels[:-1] + levels[1:]) / 2.0 if len(levels) > 1 else levels
+    if len(levels):
+        ax.contour(xs, ys, img, levels=levels, colors=colors, linewidths=1.0)
+    if own_fig:
+        return helpers.show_plot(path, ax.figure)
+    return ax
+
+
+def plot(plot_object_list: List[Dict], path=None, title=None, figsize=(7, 6)):
+    """Generic overlay engine (reference plotting.py:241-337): each entry is
+    ``{'object': array-or-(mesh,field), 'type': 'image'|'labels'|'scalar'|
+    'vector', ...kwargs}`` drawn in order on one axis."""
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=figsize)
+    for entry in plot_object_list:
+        kind = entry.get("type")
+        kwargs = {k: v for k, v in entry.items() if k not in ("object", "type")}
+        obj = entry.get("object")
+        if kind == "image":
+            plot_image(obj, ax=ax, **kwargs)
+        elif kind == "labels":
+            plot_segmentation_contours(obj, ax=ax, **kwargs)
+        elif kind == "scalar":
+            mesh, vals = obj
+            plot_scalar_field(mesh, vals, ax=ax, **kwargs)
+        elif kind == "vector":
+            mesh, vals = obj
+            plot_vector_field(mesh, vals, ax=ax, **kwargs)
+        else:
+            raise ValueError(f"unknown plot object type {kind!r}")
+    if title:
+        ax.set_title(title)
+    return helpers.show_plot(path, fig)
+
+
+def show_img_seg_f(image=None, segmentation=None, function=None, mesh=None,
+                   path=None, title=None, showmesh=False, alpha_f=0.8,
+                   origin=(0, 0), spacing=(1, 1)):
+    """Convenience overlay: image + segmentation contours + field
+    (reference show_img_seg_f, plotting.py:340-389)."""
+    objs = []
+    if image is not None:
+        objs.append({"object": image, "type": "image", "origin": origin,
+                     "spacing": spacing})
+    if segmentation is not None:
+        objs.append({"object": segmentation, "type": "labels", "origin": origin,
+                     "spacing": spacing})
+    if function is not None and mesh is not None:
+        vals = np.asarray(function)
+        kind = "vector" if vals.ndim == 2 else "scalar"
+        objs.append({"object": (mesh, vals), "type": kind, "alpha": alpha_f})
+    return plot(objs, path=path, title=title)
+
+
+class Plotting:
+    """In-loop per-step plotting (reference helper_classes.py:1456-1517)."""
+
+    def __init__(self, results, output_dir="plots"):
+        self.results = results
+        self.output_dir = output_dir
+
+    def plot_all(self, recording_step):
+        fields = self.results.get_result(recording_step)
+        if fields is None or self.results.mesh.dim != 2:
+            return
+        names = self.results._functionspace.get_subspace_names()
+        os.makedirs(self.output_dir, exist_ok=True)
+        for sid, arr in fields.items():
+            nm = names.get(sid, f"subspace_{sid}")
+            path = os.path.join(self.output_dir, f"{nm}_{recording_step:04d}.png")
+            arr = np.asarray(arr)
+            try:
+                if arr.ndim == 2:
+                    plot_vector_field(self.results.mesh, arr, path=path,
+                                      title=f"{nm} @ step {recording_step}")
+                else:
+                    plot_scalar_field(self.results.mesh, arr, path=path,
+                                      title=f"{nm} @ step {recording_step}")
+            except Exception as e:  # plotting must never kill a run
+                logger.warning("plotting failed for %s: %s", nm, e)
