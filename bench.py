@@ -1,0 +1,130 @@
+"""Benchmark: 3D brain-atlas forward solve, steps/sec on the local device.
+
+The reference's headline configuration (BASELINE.md): the 3D brain forward
+simulation (brain_atlas_mesh_3d.vtu, 4 tissue subdomains, sim_time 5, dt 1)
+run with ``mpirun -np 4`` FEniCS on CPU.  The reference publishes no
+numbers, so the baseline is measured in-situ: the independent sparse-matrix
+FEM implementation (tests/reference_fem.py — classic assemble + direct
+solve, the same execution model as the FEniCS stack) timed on the host CPU
+for the identical problem, cached in BASELINE_CACHE.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+N = int(os.environ.get("GLIMS_BENCH_N", "32"))  # lattice resolution
+N_STEPS = 5
+CACHE = os.path.join(ROOT, "BASELINE_CACHE.json")
+
+
+def build_problem(dtype=None, sharded=False):
+    import jax
+    import jax.numpy as jnp
+
+    sys.modules.pop("__graft_entry__", None)
+    from __graft_entry__ import _brain_sim
+    from glimslib_tpu.solvers.coupled import StepConfig
+
+    sim = _brain_sim(n=N, dims=3, dtype=dtype)
+    if dtype == jnp.float32:
+        sim.step_config = StepConfig(
+            newton_rtol=1e-5, newton_atol=1e-6, cg_rtol=1e-5, cg_maxiter=800
+        )
+    return sim
+
+
+def run_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else (
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    )
+    sim = build_problem(dtype=dtype)
+    theta = sim.make_theta(sim.params.as_dict())
+    iv = sim.params.create_initial_value_function()
+    u0 = jnp.asarray(iv[0], dtype=dtype)
+    c0 = jnp.asarray(iv[1], dtype=dtype)
+    simulate = jax.jit(sim.build_simulate_fn(N_STEPS, 1.0))
+    # warmup/compile
+    out = simulate(theta, u0, c0)
+    jax.block_until_ready(out)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = simulate(theta, u0, c0)
+        jax.block_until_ready(out)
+    dt_run = (time.perf_counter() - t0) / reps
+    ok = np.asarray(out[2])
+    assert ok.all(), "bench solve did not converge"
+    return sim, N_STEPS / dt_run  # steps per second
+
+
+def measure_baseline(sim):
+    """Scipy sparse assemble+spsolve implicit-Euler step on the same mesh
+    (CPU) — the reference-stack stand-in."""
+    key = f"brain3d_n{N}_nodes{sim.mesh.n_nodes}"
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            return cache[key], key
+    from reference_fem import ReferenceFEM
+
+    mesh = sim.mesh
+    ref = ReferenceFEM(mesh)
+    theta_p = sim.params.as_dict()
+    sd = sim.subdomains
+    D = np.asarray(sim.make_theta(theta_p)["D"], dtype=np.float64)
+    rho = np.asarray(sim.make_theta(theta_p)["rho"], dtype=np.float64)
+    mu = np.asarray(sim.make_theta(theta_p)["mu"], dtype=np.float64)
+    lam = np.asarray(sim.make_theta(theta_p)["lam"], dtype=np.float64)
+    iv = sim.params.create_initial_value_function()
+    c = np.asarray(iv[1], dtype=np.float64)
+    u = np.zeros(mesh.n_nodes * mesh.dim)
+    bn = mesh.boundary_nodes
+    t0 = time.perf_counter()
+    u, c = ref.solve_step(
+        u, c, D, rho, mu, lam, float(theta_p["coupling"]), 1.0,
+        dirichlet_disp_nodes=bn,
+        dirichlet_disp_values=np.zeros((len(bn), mesh.dim)),
+    )
+    dt_step = time.perf_counter() - t0
+    baseline_sps = 1.0 / dt_step
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+    cache[key] = baseline_sps
+    with open(CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    return baseline_sps, key
+
+
+def main():
+    sim, steps_per_sec = run_tpu()
+    baseline_sps, key = measure_baseline(sim)
+    print(
+        json.dumps(
+            {
+                "metric": "3d_brain_forward_steps_per_sec",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / baseline_sps, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,23 @@ class Simulation(ABC):
         self._simulate_jit = None
         self.step_config = StepConfig()
 
+    # -- multi-chip (replaces mpirun, reference README.md:142-183) ----------
+
+    def use_sharding(self, device_mesh=None, n_devices=None):
+        """Switch assembly to shard-mapped kernels over a device mesh.
+
+        The analogue of running the reference under ``mpirun -np N``: the
+        same model/API, with cells partitioned across devices and node
+        contributions combined by XLA collectives over ICI."""
+        from glimslib_tpu.parallel.shard import ShardedP1Kernels, make_device_mesh
+
+        if device_mesh is None:
+            device_mesh = make_device_mesh(n_devices)
+        self.device_mesh = device_mesh
+        self.kernels = ShardedP1Kernels(self.mesh, device_mesh, dtype=self.dtype)
+        self._simulate_jit = None
+        return device_mesh
+
     # -- abstract model surface (reference simulation_base.py:111-158) ------
 
     @abstractmethod

@@ -1,0 +1,126 @@
+"""Bounded L-BFGS-B driver with per-iteration progress records.
+
+Rebuild of the reference's optimizer plumbing: the custom scipy minimizer
+(image_based_optimization.py:646-658), the eval/derivative callbacks
+recording ``(J, params...)`` / ``(J, dJ...)`` with wall-clock timestamps
+(l.614-625), and ``create_opt_progress_df`` merging them into one pandas
+DataFrame exported to xls/pkl (l.627-644, 748-762).
+"""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime
+from typing import Callable, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class OptimizationProgress:
+    """Per-iteration (J, params, dJ, datetime) records."""
+
+    def __init__(self, param_names: List[str]):
+        self.param_names = list(param_names)
+        self.eval_records = []  # (J, *params)
+        self.grad_records = []  # (J, *dJ)
+        self.datetime_records = []  # (J, datetime)
+
+    def record_eval(self, j, params):
+        self.eval_records.append((float(j), *np.asarray(params, float)))
+        self.datetime_records.append((float(j), datetime.now()))
+
+    def record_grad(self, j, dj):
+        self.grad_records.append((float(j), *np.asarray(dj, float)))
+
+    def to_dataframe(self):
+        """reference create_opt_progress_df (l.627-644)."""
+        import pandas as pd
+
+        params_df = pd.DataFrame(
+            self.eval_records, columns=["J", *self.param_names]
+        )
+        datetime_df = pd.DataFrame(
+            self.datetime_records, columns=["J", "datetime"]
+        )
+        df = pd.merge(params_df, datetime_df, on="J", how="outer")
+        if self.grad_records:
+            dj_df = pd.DataFrame(
+                self.grad_records,
+                columns=["J", *[f"dJd{p}" for p in self.param_names]],
+            )
+            df = pd.merge(df, dj_df, on="J", how="outer")
+        return df
+
+    def save(self, path_pkl=None, path_xls=None):
+        df = self.to_dataframe()
+        if path_pkl:
+            df.to_pickle(path_pkl)
+        if path_xls:
+            try:
+                df.to_excel(path_xls)
+            except Exception as e:  # no excel writer installed
+                csv = str(path_xls).rsplit(".", 1)[0] + ".csv"
+                logger.warning("to_excel failed (%s); writing %s", e, csv)
+                df.to_csv(csv)
+        return df
+
+    @property
+    def total_time_seconds(self):
+        if len(self.datetime_records) < 2:
+            return 0.0
+        t0 = self.datetime_records[0][1]
+        t1 = self.datetime_records[-1][1]
+        return (t1 - t0).total_seconds()
+
+    @property
+    def number_iterations(self):
+        return len(self.eval_records)
+
+
+def minimize_lbfgsb(
+    value_and_grad: Callable,
+    x0,
+    bounds=None,
+    param_names: Optional[List[str]] = None,
+    tol: float = 1e-6,
+    gtol: float = 1e-6,
+    maxiter: int = 200,
+    eval_cb: Optional[Callable] = None,
+    derivative_cb: Optional[Callable] = None,
+    disp: bool = False,
+):
+    """Run scipy L-BFGS-B on a (J, dJ) oracle with bounds
+    (reference defaults: method L-BFGS-B, tol 1e-6, gtol 1e-6, bounds
+    [0.005, 0.5]; image_based_optimization.py:711-718).
+
+    Returns (x_opt, progress, scipy_result)."""
+    from scipy.optimize import minimize as scipy_minimize
+
+    x0 = np.asarray(x0, dtype=np.float64)
+    param_names = param_names or [f"p{i}" for i in range(len(x0))]
+    progress = OptimizationProgress(param_names)
+
+    def fun(x):
+        j, g = value_and_grad(x)
+        progress.record_eval(j, x)
+        progress.record_grad(j, g)
+        if eval_cb:
+            eval_cb(j, x)
+        if derivative_cb:
+            derivative_cb(j, g, x)
+        logger.info("optimization eval: J=%.6e params=%s", j, list(x))
+        return j, g
+
+    res = scipy_minimize(
+        fun,
+        x0,
+        jac=True,
+        method="L-BFGS-B",
+        bounds=bounds,
+        tol=tol,
+        options={"gtol": gtol, "maxiter": maxiter},
+    )
+    logger.info("-- Finished Optimization: %s", res.message)
+    return np.asarray(res.x), progress, res

@@ -8,7 +8,7 @@ the analogue of the reference's single-host ``mpirun -np 4`` testing
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# the axon site hook pins JAX_PLATFORMS before conftest runs; the config
+# update below wins regardless
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # single-CPU sandbox: persistent compile cache makes repeat runs fast
 jax.config.update("jax_compilation_cache_dir", os.path.join(
