@@ -32,6 +32,12 @@ import numpy as np
 
 from glimslib_tpu.core.elements import p1_mass_matrix, p1_cubic_tensor
 
+# TPU: einsum must not downcast to bf16 on the MXU - FEM residuals need
+# full f32/f64 accumulation for Newton/CG convergence (pallas_guide:
+# 'always specify preferred_element_type').
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 # ---------------------------------------------------------------------------
 # Scatter plan
@@ -135,15 +141,15 @@ class P1Kernels:
         source = jnp.broadcast_to(jnp.asarray(source, self.dtype), (self.n_cells,))
 
         # mass terms: V * M @ (c - c_prev)
-        m_diff = v[:, None] * jnp.einsum("ij,cj->ci", self.mass_unit, ce - cpe)
+        m_diff = v[:, None] * _einsum("ij,cj->ci", self.mass_unit, ce - cpe)
         # stiffness: dt D V (∇c · g_i)
-        grad_c = jnp.einsum("cj,cjd->cd", ce, self.grads)  # (nc, d)
-        k_term = (dt * D * v)[:, None] * jnp.einsum(
+        grad_c = _einsum("cj,cjd->cd", ce, self.grads)  # (nc, d)
+        k_term = (dt * D * v)[:, None] * _einsum(
             "cd,cid->ci", grad_c, self.grads
         )
         # logistic: -dt ρ [ V M c - (1/c_max) V T : (c ⊗ c) ]
-        m_c = jnp.einsum("ij,cj->ci", self.mass_unit, ce)
-        t_cc = jnp.einsum("ijk,cj,ck->ci", self.cubic_unit, ce, ce)
+        m_c = _einsum("ij,cj->ci", self.mass_unit, ce)
+        t_cc = _einsum("ijk,cj,ck->ci", self.cubic_unit, ce, ce)
         logistic = (dt * rho * v)[:, None] * (m_c - t_cc / conc_max)
         # source: -dt s V/(d+1)
         src = (dt * source * v / (self.dim + 1))[:, None] * jnp.ones(
@@ -159,7 +165,7 @@ class P1Kernels:
         v = self.vol
         D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (self.n_cells,))
         mdiag = v[:, None] * jnp.diag(self.mass_unit)[None, :]
-        kdiag = (dt * D * v)[:, None] * jnp.einsum(
+        kdiag = (dt * D * v)[:, None] * _einsum(
             "cid,cid->ci", self.grads, self.grads
         )
         return scatter(self.plan, (mdiag + kdiag).reshape(-1))
@@ -182,7 +188,7 @@ class P1Kernels:
         mu = jnp.broadcast_to(jnp.asarray(mu, self.dtype), (self.n_cells,))
         lam = jnp.broadcast_to(jnp.asarray(lam, self.dtype), (self.n_cells,))
 
-        grad_u = jnp.einsum("cja,cjb->cab", ue, self.grads)  # (nc, d, d)
+        grad_u = _einsum("cja,cjb->cab", ue, self.grads)  # (nc, d, d)
         eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, 1, 2))
         tr_eps = jnp.trace(eps, axis1=1, axis2=2)
         sigma = (
@@ -190,7 +196,7 @@ class P1Kernels:
             + (lam * tr_eps)[:, None, None] * jnp.eye(d, dtype=self.dtype)
         )
         # ∫ σ(u):ε(v): V σ[a,b] g_i[b]
-        term_stress = v[:, None, None] * jnp.einsum("cab,cib->cia", sigma, self.grads)
+        term_stress = v[:, None, None] * _einsum("cab,cib->cia", sigma, self.grads)
         # coupling: -k (2μ + dλ) ∫ c div v = -k(2μ+dλ) V c̄ g_i[a]
         cbar = ce.mean(axis=1)
         kfac = coupling * (2.0 * mu + d * lam) * cbar * v  # (nc,)
@@ -210,7 +216,7 @@ class P1Kernels:
         v = self.vol
         mu = jnp.broadcast_to(jnp.asarray(mu, self.dtype), (self.n_cells,))
         lam = jnp.broadcast_to(jnp.asarray(lam, self.dtype), (self.n_cells,))
-        g2 = jnp.einsum("cid,cid->ci", self.grads, self.grads)  # |g_i|^2
+        g2 = _einsum("cid,cid->ci", self.grads, self.grads)  # |g_i|^2
         ga2 = self.grads**2  # (nc, npe, d)
         diag = (
             v[:, None, None] * mu[:, None, None] * (g2[:, :, None] + ga2)
@@ -223,13 +229,13 @@ class P1Kernels:
     def mass_residual(self, c):
         """∫ c v dx  (consistent mass action), (n_nodes,) -> (n_nodes,)."""
         ce = self.gather(c)
-        contrib = self.vol[:, None] * jnp.einsum("ij,cj->ci", self.mass_unit, ce)
+        contrib = self.vol[:, None] * _einsum("ij,cj->ci", self.mass_unit, ce)
         return scatter(self.plan, contrib.reshape(-1))
 
     def mass_vector_residual(self, u):
         """Vector-field consistent mass action, (n_nodes, d)."""
         ue = self.gather(u)
-        contrib = self.vol[:, None, None] * jnp.einsum(
+        contrib = self.vol[:, None, None] * _einsum(
             "ij,cjd->cid", self.mass_unit, ue
         )
         return scatter(self.plan, contrib.reshape(-1, self.dim))
@@ -245,8 +251,8 @@ class P1Kernels:
         """∫ D ∇c·∇v dx."""
         ce = self.gather(c)
         D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (self.n_cells,))
-        grad_c = jnp.einsum("cj,cjd->cd", ce, self.grads)
-        contrib = (D * self.vol)[:, None] * jnp.einsum(
+        grad_c = _einsum("cj,cjd->cd", ce, self.grads)
+        contrib = (D * self.vol)[:, None] * _einsum(
             "cd,cid->ci", grad_c, self.grads
         )
         return scatter(self.plan, contrib.reshape(-1))
@@ -265,11 +271,11 @@ class P1Kernels:
 
     def cell_gradient(self, c):
         """Per-cell (constant) gradient of a P1 scalar field, (nc, d)."""
-        return jnp.einsum("cj,cjd->cd", self.gather(c), self.grads)
+        return _einsum("cj,cjd->cd", self.gather(c), self.grads)
 
     def cell_vector_gradient(self, u):
         """Per-cell displacement gradient ∇u[a,b] = ∂u_a/∂x_b, (nc, d, d)."""
-        return jnp.einsum("cja,cjb->cab", self.gather(u), self.grads)
+        return _einsum("cja,cjb->cab", self.gather(u), self.grads)
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +326,7 @@ class FacetKernels:
             )
         else:
             qn = q
-        contrib = self.facet_area[:, None] * jnp.einsum(
+        contrib = self.facet_area[:, None] * _einsum(
             "ij,fj->fi", self.facet_mass_unit, qn
         )
         return scatter(self.plan, contrib.reshape(-1))
@@ -336,7 +342,7 @@ class FacetKernels:
             )[:, None, :].repeat(self.dim, axis=1)
         else:
             tn = t
-        contrib = self.facet_area[:, None, None] * jnp.einsum(
+        contrib = self.facet_area[:, None, None] * _einsum(
             "ij,fja->fia", self.facet_mass_unit, tn
         )
         return scatter(self.plan, contrib.reshape(-1, contrib.shape[-1]))

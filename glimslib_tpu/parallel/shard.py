@@ -35,6 +35,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from glimslib_tpu.core.elements import p1_cubic_tensor, p1_mass_matrix
 
+# TPU: einsum must not downcast to bf16 on the MXU - FEM residuals need
+# full f32/f64 accumulation for Newton/CG convergence (pallas_guide:
+# 'always specify preferred_element_type').
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 try:  # jax>=0.6 stable name
     from jax import shard_map
 except ImportError:  # pragma: no cover
@@ -114,13 +120,13 @@ class ShardedP1Kernels:
             D, rho, src = D[0], rho[0], src[0]
             ce = jnp.take(c, cells, axis=0)
             cpe = jnp.take(c_prev, cells, axis=0)
-            m_diff = vol[:, None] * jnp.einsum("ij,cj->ci", mass_unit, ce - cpe)
-            grad_c = jnp.einsum("cj,cjd->cd", ce, grads)
-            k_term = (dt * D * vol)[:, None] * jnp.einsum(
+            m_diff = vol[:, None] * _einsum("ij,cj->ci", mass_unit, ce - cpe)
+            grad_c = _einsum("cj,cjd->cd", ce, grads)
+            k_term = (dt * D * vol)[:, None] * _einsum(
                 "cd,cid->ci", grad_c, grads
             )
-            m_c = jnp.einsum("ij,cj->ci", mass_unit, ce)
-            t_cc = jnp.einsum("ijk,cj,ck->ci", cubic_unit, ce, ce)
+            m_c = _einsum("ij,cj->ci", mass_unit, ce)
+            t_cc = _einsum("ijk,cj,ck->ci", cubic_unit, ce, ce)
             logistic = (dt * rho * vol)[:, None] * (m_c - t_cc / conc_max)
             srct = (dt * src * vol / (dim + 1))[:, None] * jnp.ones(
                 (1, npe), ce.dtype
@@ -153,14 +159,14 @@ class ShardedP1Kernels:
             mu, lam = mu[0], lam[0]
             ue = jnp.take(u, cells, axis=0)
             ce = jnp.take(c, cells, axis=0)
-            grad_u = jnp.einsum("cja,cjb->cab", ue, grads)
+            grad_u = _einsum("cja,cjb->cab", ue, grads)
             eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, 1, 2))
             tr = jnp.trace(eps, axis1=1, axis2=2)
             sigma = (
                 2.0 * mu[:, None, None] * eps
                 + (lam * tr)[:, None, None] * jnp.eye(d, dtype=ue.dtype)
             )
-            term_stress = vol[:, None, None] * jnp.einsum(
+            term_stress = vol[:, None, None] * _einsum(
                 "cab,cib->cia", sigma, grads
             )
             cbar = ce.mean(axis=1)
@@ -188,7 +194,7 @@ class ShardedP1Kernels:
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             D = D[0]
             mdiag = vol[:, None] * mass_diag[None, :]
-            kdiag = (dt * D * vol)[:, None] * jnp.einsum(
+            kdiag = (dt * D * vol)[:, None] * _einsum(
                 "cid,cid->ci", grads, grads
             )
             s = jnp.take((mdiag + kdiag).reshape(-1), sort_idx, axis=0)
@@ -209,7 +215,7 @@ class ShardedP1Kernels:
             cells, vol, grads = cells[0], vol[0], grads[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             mu, lam = mu[0], lam[0]
-            g2 = jnp.einsum("cid,cid->ci", grads, grads)
+            g2 = _einsum("cid,cid->ci", grads, grads)
             ga2 = grads**2
             diag = (
                 vol[:, None, None] * mu[:, None, None] * (g2[:, :, None] + ga2)
@@ -233,7 +239,7 @@ class ShardedP1Kernels:
             cells, vol = cells[0], vol[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             ce = jnp.take(c, cells, axis=0)
-            contrib = vol[:, None] * jnp.einsum("ij,cj->ci", mass_unit, ce)
+            contrib = vol[:, None] * _einsum("ij,cj->ci", mass_unit, ce)
             s = jnp.take(contrib.reshape(-1), sort_idx, axis=0)
             r = jax.ops.segment_sum(
                 s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
@@ -251,7 +257,7 @@ class ShardedP1Kernels:
             cells, vol = cells[0], vol[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             ue = jnp.take(u, cells, axis=0)
-            contrib = vol[:, None, None] * jnp.einsum("ij,cjd->cid", mass_unit, ue)
+            contrib = vol[:, None, None] * _einsum("ij,cjd->cid", mass_unit, ue)
             s = jnp.take(contrib.reshape(-1, dim), sort_idx, axis=0)
             r = jax.ops.segment_sum(
                 s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True

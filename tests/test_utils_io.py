@@ -1,0 +1,196 @@
+"""I/O and data-pipeline unit tests (reference tier: utils/test_unit_data_io.py
+— round-trip function<->image in 2D/3D scalar/vector)."""
+
+import numpy as np
+import pytest
+
+from glimslib_tpu.core.mesh import box_mesh, rectangle_mesh
+from glimslib_tpu.utils import data_io as dio
+from glimslib_tpu.utils import vtk_utils
+from glimslib_tpu.utils.image_io import Image, read_mha, read_nii, write_mha, write_nii
+from glimslib_tpu.utils.synthetic import brain_labelmap_2d, brain_labelmap_3d, t1_from_labels
+
+
+def test_mha_roundtrip(tmp_path):
+    img = Image(
+        data=np.random.default_rng(0).standard_normal((5, 7, 9)).astype(np.float32),
+        origin=(1.0, 2.0, 3.0),
+        spacing=(0.5, 1.0, 2.0),
+    )
+    p = tmp_path / "x.mha"
+    write_mha(str(p), img)
+    back = read_mha(str(p))
+    assert np.array_equal(back.data, img.data)
+    assert back.origin == img.origin
+    assert back.spacing == img.spacing
+    # compressed
+    write_mha(str(p), img, compressed=True)
+    back = read_mha(str(p))
+    assert np.array_equal(back.data, img.data)
+
+
+def test_mha_vector_roundtrip(tmp_path):
+    img = Image(
+        data=np.random.default_rng(1).standard_normal((4, 5, 6, 3)).astype(np.float32),
+        origin=(0.0, 0.0, 0.0),
+        spacing=(1.0, 1.0, 1.0),
+        is_vector=True,
+    )
+    p = tmp_path / "v.mha"
+    write_mha(str(p), img)
+    back = read_mha(str(p))
+    assert back.is_vector
+    assert np.array_equal(back.data, img.data)
+
+
+def test_nii_roundtrip(tmp_path):
+    img = Image(
+        data=(np.random.default_rng(2).uniform(0, 10, (6, 5, 4))).astype(np.int16),
+        origin=(0.5, -1.0, 2.0),
+        spacing=(1.0, 2.0, 0.5),
+    )
+    p = tmp_path / "x.nii"
+    write_nii(str(p), img)
+    back = read_nii(str(p))
+    assert np.array_equal(back.data, img.data)
+    assert np.allclose(back.spacing, img.spacing)
+
+
+def test_image2fct2D_roundtrip():
+    """Pixel-lattice mesh: dof order == pixel order (reference data_io.py:31-94)."""
+    lab = brain_labelmap_2d(16, 12)
+    img = Image(lab.astype(np.float64), origin=(0.0, 0.0), spacing=(1.0, 1.0))
+    mesh, vals = dio.image2fct2D(img)
+    assert mesh.n_nodes == 16 * 12
+    assert np.array_equal(vals.reshape(12, 16), lab)
+    back = dio.fct2image2D((mesh, vals), 16, 12)
+    assert np.allclose(back.data, lab, atol=1e-9)
+
+
+def test_create_function_from_image_3d():
+    lab = brain_labelmap_3d(12, 12, 12)
+    img = Image(lab.astype(np.float64), origin=(0, 0, 0), spacing=(1, 1, 1))
+    mesh = box_mesh((0, 0, 0), (11, 11, 11), 11, 11, 11)
+    vals = dio.create_fenics_function_from_image(img, mesh)
+    # mesh nodes coincide with voxel centres -> exact values
+    assert np.array_equal(
+        vals.reshape(12, 12, 12).transpose(2, 1, 0).astype(np.int16), lab
+    )
+
+
+def test_vtu_roundtrip(tmp_path):
+    mesh = rectangle_mesh((0, 0), (1, 1), 4, 3)
+    pd = {"c": np.arange(mesh.n_nodes, dtype=np.float64),
+          "u": np.random.default_rng(0).standard_normal((mesh.n_nodes, 2))}
+    cd = {"label": np.arange(mesh.n_cells) % 3}
+    p = str(tmp_path / "m.vtu")
+    vtk_utils.write_vtu(p, mesh.points, mesh.cells, pd, cd)
+    pts, cells, pd2, cd2 = vtk_utils.read_vtu(p)
+    assert np.allclose(pts[:, :2], mesh.points)
+    assert np.array_equal(cells, mesh.cells)
+    assert np.allclose(pd2["c"], pd["c"])
+    assert np.allclose(pd2["u"][:, :2], pd["u"])
+    assert np.array_equal(cd2["label"], cd["label"])
+
+
+def test_read_vtk_convert_to_fenics(tmp_path):
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2)
+    labels = (np.arange(mesh.n_cells) % 4).astype(np.int32)
+    p = str(tmp_path / "m3.vtu")
+    vtk_utils.write_vtu(p, mesh.points, mesh.cells, None,
+                        {"ElementBlockIds": labels})
+    m2, sd = dio.read_vtk_convert_to_fenics(p)
+    assert m2.n_cells == mesh.n_cells
+    assert np.array_equal(sd, labels)
+
+
+def test_orphan_removal():
+    mesh = rectangle_mesh((0, 0), (1, 1), 2, 2)
+    pts = np.vstack([mesh.points, [[9.0, 9.0]]])  # orphan
+    orphans = dio.identify_orphaned_vertices(pts, mesh.cells)
+    assert list(orphans) == [len(pts) - 1]
+    pts2, cells2, _ = dio.remove_orphaned_vertices(pts, mesh.cells)
+    assert len(pts2) == mesh.n_nodes
+    assert cells2.max() == mesh.n_nodes - 1
+
+
+def test_mesh_hdf5_roundtrip(tmp_path):
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 2, 2, 2)
+    sd = np.arange(mesh.n_cells) % 3
+    p = str(tmp_path / "mesh.h5")
+    dio.save_mesh_hdf5(mesh, p, subdomains=sd)
+    m2, sd2, bd = dio.read_mesh_hdf5(p)
+    assert np.allclose(m2.points, mesh.points)
+    assert np.array_equal(sd2, sd)
+    assert bd is None
+
+
+def test_functions_hdf5_roundtrip(tmp_path):
+    p = str(tmp_path / "f.h5")
+    f1 = np.arange(10.0)
+    f2 = np.random.default_rng(0).standard_normal((10, 2))
+    dio.save_functions_hdf5({"conc": f1, "disp": f2}, p)
+    assert np.array_equal(dio.read_function_hdf5("conc", p), f1)
+    assert np.array_equal(dio.read_function_hdf5("disp", p), f2)
+    assert dio.read_function_hdf5("nope", p) is None
+
+
+def test_threshold_and_measure():
+    mesh = box_mesh((0, 0, 0), (2, 1, 1), 4, 2, 2)
+    labels = (mesh.cell_midpoints[:, 0] < 1.0).astype(int)
+    pts, cells, _, _ = vtk_utils.threshold_cells(
+        mesh.points, mesh.cells, labels, 1, 1
+    )
+    assert np.isclose(vtk_utils.total_measure(pts, cells), 1.0)
+
+
+def test_mesh_image_labels_fallback():
+    """First-party image->tet mesher (MeshTool absent)."""
+    from glimslib_tpu.utils.meshing import mesh_image_labels
+
+    lab = brain_labelmap_3d(10, 10, 10)
+    img = Image(lab, origin=(0, 0, 0), spacing=(1, 1, 1))
+    mesh, cell_labels = mesh_image_labels(img)
+    assert mesh.dim == 3
+    assert len(cell_labels) == mesh.n_cells
+    # mesh covers exactly the foreground voxel volume
+    n_fg = int((lab > 0).sum())
+    assert np.isclose(mesh.cell_volumes.sum(), float(n_fg), rtol=1e-9)
+    assert set(np.unique(cell_labels)) <= {1, 2, 3, 4}
+
+
+def test_registration_fallback(tmp_path):
+    """Demons fallback recovers a small synthetic shift approximately."""
+    from glimslib_tpu.utils.image_registration_utils import (
+        estimate_displacement_demons,
+    )
+
+    lab = brain_labelmap_2d(32, 32).astype(np.float64)
+    fixed = Image(lab, (0, 0), (1, 1))
+    moving = Image(np.roll(lab, 2, axis=1), (0, 0), (1, 1))  # shift in x
+    disp = estimate_displacement_demons(fixed, moving, n_iter=80)
+    # center-of-mass displacement should point along -x... direction toward
+    # aligning moving onto fixed; just require a clearly dominant x component
+    inner = np.abs(disp[8:-8, 8:-8, :])
+    assert inner[..., 0].mean() > inner[..., 1].mean()
+
+
+def test_merge_vtus(tmp_path):
+    mesh = rectangle_mesh((0, 0), (1, 1), 2, 2)
+    base = str(tmp_path)
+    vtk_utils.write_vtu(
+        os.path.join(base, "concentration_000001.vtu"), mesh.points, mesh.cells,
+        {"concentration": np.ones(mesh.n_nodes)},
+    )
+    vtk_utils.write_vtu(
+        os.path.join(base, "displacement_000001.vtu"), mesh.points, mesh.cells,
+        {"displacement": np.zeros((mesh.n_nodes, 2))},
+    )
+    merged = dio.merge_vtus_timestep(base, 1, remove=True)
+    assert merged and os.path.exists(merged)
+    _, _, pd, _ = vtk_utils.read_vtu(merged)
+    assert "concentration" in pd and "displacement" in pd
+    assert not os.path.exists(os.path.join(base, "concentration_000001.vtu"))
+
+
+import os  # noqa: E402  (used in test_merge_vtus)
