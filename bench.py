@@ -38,13 +38,19 @@ def build_problem(dtype=None, sharded=False):
     sim = _brain_sim(n=N, dims=3, dtype=dtype)
     if dtype == jnp.float32:
         sim.step_config = StepConfig(
-            newton_rtol=1e-5, newton_atol=1e-6, cg_rtol=1e-5, cg_maxiter=800
+            newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=800
         )
     return sim
 
 
 def run_tpu():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     dtype = jnp.float32 if jax.default_backend() != "cpu" else (

@@ -190,7 +190,7 @@ class FunctionSpace:
         coords = self.dof_coordinates(subspace_id)
         return self._eval_expression(expr, coords, ss.value_size, time)
 
-    def project(self, expr, subspace_id: int, time=None, rtol=1e-12, maxiter=2000):
+    def project(self, expr, subspace_id: int, time=None, rtol=None, maxiter=2000):
         """L2 projection of an expression onto a (P1) subspace:
         solve M x = b with b_i = ∫ expr φ_i dx by degree-4 quadrature.
 
@@ -223,10 +223,12 @@ class FunctionSpace:
             b = np.zeros((mesh.n_nodes, ss.value_size))
             np.add.at(b, mesh.cells.ravel(), loc.reshape(-1, ss.value_size))
         # mass solve with CG (jacobi = lumped mass)
-        from glimslib_tpu.ops.assembly import P1Kernels
         from glimslib_tpu.solvers.cg import pcg
 
         k = self._kernels()
+        if rtol is None:
+            rtol = 1e-12 if k.dtype == jnp.float64 else 1e-6
+        b = b.astype(np.float64 if k.dtype == jnp.float64 else np.float32)
         lumped = k.lumped_mass()
         if ss.value_size == 1:
             A = lambda x: k.mass_residual(x)
@@ -251,7 +253,5 @@ class FunctionSpace:
         if self._kernels_cache is None:
             from glimslib_tpu.ops.assembly import P1Kernels
 
-            self._kernels_cache = P1Kernels(
-                self.mesh, dtype=jnp.float64 if self.dtype == np.float64 else jnp.float32
-            )
+            self._kernels_cache = P1Kernels(self.mesh)
         return self._kernels_cache

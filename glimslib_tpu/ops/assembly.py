@@ -103,7 +103,9 @@ class P1Kernels:
     ``params_per_tissue[cell_labels]`` gathers and stays differentiable.
     """
 
-    def __init__(self, mesh, dtype=jnp.float64):
+    def __init__(self, mesh, dtype=None):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
         self.dim = mesh.dim
         self.n_nodes = mesh.n_nodes
         self.n_cells = mesh.n_cells

@@ -60,8 +60,11 @@ class ShardedP1Kernels:
     All coefficient arguments are materialized per-cell and sharded with the
     cell blocks; nodal vectors are replicated."""
 
-    def __init__(self, mesh, device_mesh: DeviceMesh, dtype=jnp.float64):
+    def __init__(self, mesh, device_mesh: DeviceMesh, dtype=None):
         from glimslib_tpu.parallel.partition import partition_cells
+
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
         self.dim = mesh.dim
         self.n_nodes = mesh.n_nodes

@@ -1,0 +1,130 @@
+"""Ordered end-to-end workflow test on a tiny synthetic atlas — the
+reference's tier-2 strategy (ordered unittests with loosened optimizer
+tolerances for speed, test_imageBasedOptimizationAtlas.py:53-136)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from glimslib_tpu.utils.image_io import Image, write_mha
+from glimslib_tpu.utils.synthetic import brain_labelmap_3d
+from glimslib_tpu.workflow.image_based_optimization_atlas import (
+    ImageBasedOptimizationAtlas,
+)
+from glimslib_tpu.workflow.path_io import PathIO
+
+
+MODEL_PARAMS_FIXED = dict(
+    E_GM=3e3, E_WM=3e3, E_CSF=1e3, E_VENT=1e3,
+    nu_GM=0.45, nu_WM=0.45, nu_CSF=0.45, nu_VENT=0.3,
+)
+MODEL_PARAMS_VARYING = dict(
+    D_WM=0.1, D_GM=0.02, rho_WM=0.1, rho_GM=0.02, coupling=0.15
+)
+SIM_PARAMS = dict(sim_time=2, sim_time_step=1, seed_width=1.5)
+
+
+@pytest.fixture(scope="module")
+def atlas_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("atlas")
+    lab = brain_labelmap_3d(20, 20, 8)
+    p = str(d / "atlas_labels.mha")
+    write_mha(p, Image(lab, origin=(0, 0, 0), spacing=(1, 1, 1)))
+    return p
+
+
+@pytest.fixture(scope="module")
+def workflow(atlas_file, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("wf"))
+    wf = ImageBasedOptimizationAtlas(
+        base_dir=base, path_to_labels_atlas=atlas_file, image_z_slice=4,
+    )
+    return wf
+
+
+def test_01_prepare_domain(workflow):
+    workflow.prepare_domain()
+    assert os.path.exists(workflow.path_mesh_hdf5)
+    assert workflow.mesh.dim == 2
+    assert workflow.mesh.n_nodes == 20 * 20
+
+
+def test_02_forward(workflow):
+    seed = [10.5, 10.5]
+    workflow.init_forward_problem(
+        seed, MODEL_PARAMS_VARYING, MODEL_PARAMS_FIXED, SIM_PARAMS
+    )
+    workflow.run_forward_sim(plot=False, save_method=None)
+    assert workflow.measures["forward_final_max_conc"] > 0.1
+
+
+def test_03_target_fields(workflow):
+    workflow.create_target_fields()
+    assert os.path.exists(workflow.path_conc_T2)
+    assert os.path.exists(workflow.path_conc_T1)
+    assert os.path.exists(workflow.path_displacement_reconstructed)
+
+
+def test_04_inverse(workflow):
+    start = dict(MODEL_PARAMS_VARYING)
+    start.update(D_WM=0.05, rho_WM=0.05)
+    workflow.init_inverse_problem(
+        [10.5, 10.5], start, SIM_PARAMS, optimization_type=2,
+    )
+    # loose tolerances for speed (reference test uses tol=1, gtol=1)
+    workflow.run_inverse_problem(opt_params={"tol": 1e-4, "gtol": 1e-4,
+                                             "maxiter": 25})
+    opt = workflow.model_params_optimized
+    assert set(opt) == {"D_WM", "rho_WM"}
+    # moved toward the truth (0.1, 0.1)
+    assert opt["D_WM"] > 0.05
+    assert os.path.exists(workflow.path_parameters_optimized)
+
+
+def test_05_optimized_rerun_and_compare(workflow):
+    workflow.init_optimized_problem()
+    workflow.run_optimized_sim(plot=False, save_method=None)
+    out = workflow.compare_original_optimized()
+    df = out["field_errors"]
+    assert len(df) >= 1
+    # optimized run should approximate the forward run reasonably
+    base = float(
+        np.linalg.norm(np.asarray(workflow.sims["forward"].solution[1]))
+    )
+    assert workflow.measures["final_errornorm_concentration"] < base
+
+
+def test_06_analysis_and_summary(workflow):
+    df = workflow.compute_volume_com_per_step("forward")
+    assert "volume_T2" in df.columns and len(df) == 3
+    # COM near the seed
+    assert abs(df["com_x"].iloc[-1] - 10.5) < 2.0
+    p = workflow.write_analysis_summary({"note": "test"})
+    assert os.path.exists(p)
+
+
+def test_07_state_reload(workflow, atlas_file):
+    """Fresh-process resume via pickled state (reference l.824-874)."""
+    wf2 = ImageBasedOptimizationAtlas(base_dir=workflow.base_dir)
+    wf2.reload_state()
+    assert wf2.image_z_slice == 4
+    assert wf2.mesh.n_nodes == workflow.mesh.n_nodes
+    assert wf2.model_params_optimized == workflow.model_params_optimized
+
+
+def test_path_io_pattern():
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pio = PathIO(d)
+        p = pio.create_image_path(
+            processing="01_domain_preparation", datasource="atlas", dim=2
+        )
+        assert p.endswith(
+            "01_domain_preparation/atlas_image_T1_full_reference_2d.mha"
+        )
+        p2 = pio.create_params_path(processing="02_inverse_simulation",
+                                    datasource="optimization")
+        assert p2.endswith("02_inverse_simulation/optimization_parameterset.pkl")
