@@ -32,11 +32,45 @@ import numpy as np
 
 from glimslib_tpu.core.elements import p1_mass_matrix, p1_cubic_tensor
 
-# TPU: einsum must not downcast to bf16 on the MXU - FEM residuals need
-# full f32/f64 accumulation for Newton/CG convergence (pallas_guide:
-# 'always specify preferred_element_type').
-from functools import partial as _partial
-_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+def _einsum(spec, *ops):
+    """Tiny-contraction einsum as broadcast-multiply + reduce.
+
+    The element contractions here run over axes of size 3-6; lowering them
+    as ``dot_general`` puts them on the MXU where f32 inputs are truncated
+    to bf16 by default (wrong answers for Newton/CG) and
+    ``Precision.HIGHEST`` triggers a multi-pass codegen with pathological
+    compile times on TPU.  Explicit multiply+reduce stays on the VPU: exact
+    f32/f64 accumulation, fast compiles, and XLA fuses it with the
+    surrounding elementwise work.
+    """
+    if spec in ("ij,cj->ci", "ij,fj->fi"):
+        M, x = ops
+        return jnp.sum(M[None] * x[:, None, :], axis=-1)
+    if spec == "cj,cjd->cd":
+        x, g = ops
+        return jnp.sum(x[:, :, None] * g, axis=1)
+    if spec == "cd,cid->ci":
+        gc, g = ops
+        return jnp.sum(gc[:, None, :] * g, axis=-1)
+    if spec == "ijk,cj,ck->ci":
+        T, a, b = ops
+        return jnp.sum(
+            T[None] * a[:, None, :, None] * b[:, None, None, :], axis=(-2, -1)
+        )
+    if spec == "cid,cid->ci":
+        a, b = ops
+        return jnp.sum(a * b, axis=-1)
+    if spec == "cja,cjb->cab":
+        u, g = ops
+        return jnp.sum(u[:, :, :, None] * g[:, :, None, :], axis=1)
+    if spec == "cab,cib->cia":
+        s, g = ops
+        return jnp.sum(s[:, None, :, :] * g[:, :, None, :], axis=-1)
+    if spec in ("ij,cjd->cid", "ij,fja->fia"):
+        M, u = ops
+        return jnp.sum(M[None, :, :, None] * u[:, None, :, :], axis=2)
+    raise NotImplementedError(spec)
 
 
 # ---------------------------------------------------------------------------
