@@ -126,6 +126,13 @@ class Simulation(ABC):
     def run_for_adjoint(self, parameters, output_dir=None):
         raise NotImplementedError
 
+    # mass actions per subspace — overridden by quad (P2) models
+    def concentration_mass_action(self, c):
+        return self.kernels.mass_residual(c)
+
+    def displacement_mass_action(self, u):
+        return self.kernels.mass_vector_residual(u)
+
     # -- global setup (reference simulation_base.py:160-198) ----------------
 
     def setup_global_parameters(

@@ -1,0 +1,67 @@
+"""TumorGrowth with quadratic (P2) concentration.
+
+Rebuild of reference ``simulation/simulation_tumor_growth_quad.py``: same
+class and physics as :class:`~glimslib_tpu.models.tumor_growth.TumorGrowth`,
+only the concentration element degree changes to 2
+(reference simulation_tumor_growth_quad.py:69).  Assembly runs through the
+quadrature-based P2 kernels (ops/p2.py); the elasticity block stays P1 and
+couples to the concentration through its exact per-cell integral.
+
+Limitations matching round-1 scope: Dirichlet/von-Neumann BCs on the P2
+concentration subspace are not supported (none of the reference quad test
+cases use them; displacement BCs are unaffected).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from glimslib_tpu.models.tumor_growth import TumorGrowth as _TumorGrowthP1
+from glimslib_tpu.ops.p2 import P2Kernels
+
+
+class TumorGrowth(_TumorGrowthP1):
+    CONCENTRATION_DEGREE = 2
+
+    def _setup_functionspace(self):
+        self.functionspace.init_function_space(
+            [(1, 1), (0, 2)], {0: "displacement", 1: "concentration"}
+        )
+        self.p2 = P2Kernels(self.mesh, dtype=self.dtype)
+
+    # -- residuals over the P2 concentration space ---------------------------
+
+    def rd_residual(self, c, c_prev, theta, t):
+        r = self.p2.rd_residual(
+            c, c_prev, theta["D"], theta["rho"], theta["dt"],
+            source=theta["source"], conc_max=1.0,
+        )
+        vn = self._vn_rd_term(theta, t)
+        if vn is not None:
+            raise NotImplementedError(
+                "von Neumann BCs on the P2 concentration subspace are not "
+                "supported (no reference quad case uses them)"
+            )
+        return r
+
+    def el_residual(self, u, c, theta, t):
+        c_int = self.p2.cell_integral(c)
+        r = self.kernels.elasticity_residual_cint(
+            u, c_int, theta["mu"], theta["lam"], theta["coupling"],
+            body_force=theta["body_force"],
+        )
+        vn = self.bcs.von_neumann_residual(self.SUBSPACE_DISPLACEMENT, t)
+        if vn is not None:
+            r = r - vn
+        return r
+
+    def rd_diag(self, theta):
+        return self.p2.rd_mass_stiffness_diag(theta["D"], theta["rho"], theta["dt"])
+
+    def concentration_mass_action(self, c):
+        return self.p2.mass_residual(c)
+
+    def init_postprocess(self, output_dir=None):
+        pp = super().init_postprocess(output_dir)
+        return pp

@@ -217,9 +217,18 @@ class P1Kernels:
         Uses σ(v):(k c I) = k c (2μ + d λ) div v.  Returns (n_nodes, d).
         ``u`` is (n_nodes, d); ``c`` (n_nodes,).
         """
+        ce = self.gather(c)  # (nc, npe)
+        c_int = ce.mean(axis=1) * self.vol  # exact ∫c per cell for P1 c
+        return self.elasticity_residual_cint(u, c_int, mu, lam, coupling,
+                                             body_force)
+
+    def elasticity_residual_cint(self, u, c_int, mu, lam, coupling,
+                                 body_force=None):
+        """Elasticity residual with the concentration entering only through
+        its per-cell integral ``c_int = ∫_e c dx`` — shared by P1 and P2
+        concentration spaces (quad models)."""
         d = self.dim
         ue = self.gather(u)  # (nc, npe, d)
-        ce = self.gather(c)  # (nc, npe)
         v = self.vol
         mu = jnp.broadcast_to(jnp.asarray(mu, self.dtype), (self.n_cells,))
         lam = jnp.broadcast_to(jnp.asarray(lam, self.dtype), (self.n_cells,))
@@ -233,9 +242,8 @@ class P1Kernels:
         )
         # ∫ σ(u):ε(v): V σ[a,b] g_i[b]
         term_stress = v[:, None, None] * _einsum("cab,cib->cia", sigma, self.grads)
-        # coupling: -k (2μ + dλ) ∫ c div v = -k(2μ+dλ) V c̄ g_i[a]
-        cbar = ce.mean(axis=1)
-        kfac = coupling * (2.0 * mu + d * lam) * cbar * v  # (nc,)
+        # coupling: -k (2μ + dλ) ∫ c div v = -k(2μ+dλ) (∫c)_e g_i[a]
+        kfac = coupling * (2.0 * mu + d * lam) * c_int  # (nc,)
         term_coupling = -kfac[:, None, None] * self.grads  # (nc, npe=i, d=a)
         contrib = term_stress + term_coupling
         if body_force is not None:

@@ -155,10 +155,11 @@ class InverseProblem:
         c0 = jnp.where(mask_c, gc(0.0), c0)
 
         def l2sq(f):
-            """∫ f² dx (or ∫|f|² for vectors) with the consistent mass matrix."""
+            """∫ f² dx (or ∫|f|² for vectors) with the consistent mass
+            matrix of the owning subspace (P1 or P2)."""
             if f.ndim == 1:
-                return jnp.sum(f * kernels.mass_residual(f))
-            return jnp.sum(f * kernels.mass_vector_residual(f))
+                return jnp.sum(f * sim.concentration_mass_action(f))
+            return jnp.sum(f * sim.displacement_mass_action(f))
 
         def objective(v):
             p = dict(base_params)

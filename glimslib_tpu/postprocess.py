@@ -60,7 +60,12 @@ class PostProcess:
         return np.asarray(self._fields(recording_step)[0])
 
     def get_concentration(self, recording_step):
-        return np.asarray(self._fields(recording_step)[1])
+        c = np.asarray(self._fields(recording_step)[1])
+        if c.ndim == 1 and len(c) > self.mesh.n_nodes:
+            # P2 field (quad models): vertex dofs are the leading block and
+            # equal the function's vertex values
+            return c[: self.mesh.n_nodes]
+        return c
 
     def cell_to_node(self, cell_vals):
         """Lumped-mass L2 projection of a cellwise-constant field to P1."""

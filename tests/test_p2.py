@@ -1,0 +1,192 @@
+"""P2 (quad) element and model tests.
+
+Validation strategy: exact-integration identities on polynomial fields
+(P2 interpolation is exact for quadratics, quadrature degree 6 covers all
+terms), plus cross-degree model agreement (P1 vs P2 concentration converge
+to the same PDE solution)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from glimslib_tpu.core.mesh import box_mesh, rectangle_mesh
+from glimslib_tpu.ops.p2 import P2Kernels
+
+
+@pytest.mark.parametrize(
+    "mesh", [rectangle_mesh((0, 0), (2, 1), 5, 4),
+             box_mesh((0, 0, 0), (1, 1, 2), 2, 2, 3)],
+    ids=["tri", "tet"],
+)
+def test_p2_mass_exact_on_quadratics(mesh):
+    k = P2Kernels(mesh)
+    X = k.dof_coords
+    f = X[:, 0] ** 2  # exactly representable in P2
+    g = X[:, 0] * (X[:, 1] if mesh.dim > 1 else 1.0)
+    Mf = k.mass_residual(jnp.asarray(f))
+    got = float(jnp.asarray(g) @ Mf)
+    # exact integral of x^2 * x*y over the domain
+    from glimslib_tpu.core.elements import simplex_quadrature, P2Element
+
+    # brute-force reference by dense quadrature over cells
+    import math
+
+    qp, qw = simplex_quadrature(mesh.dim, 8)
+    vals, _ = P2Element(mesh.dim).tabulate(qp)
+    Xc = mesh.points[mesh.cells]
+    from glimslib_tpu.core.elements import P1Element
+
+    p1vals, _ = P1Element(mesh.dim).tabulate(qp)
+    xq = np.einsum("qi,cid->cqd", p1vals, Xc)
+    detJ = mesh.cell_volumes * math.factorial(mesh.dim)
+    fq = xq[..., 0] ** 2
+    gq = xq[..., 0] * (xq[..., 1] if mesh.dim > 1 else 1.0)
+    want = float(np.einsum("c,q,cq,cq->", detJ, qw, fq, gq))
+    assert np.isclose(got, want, rtol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "mesh", [rectangle_mesh((0, 0), (2, 1), 5, 4),
+             box_mesh((0, 0, 0), (1, 1, 2), 2, 2, 3)],
+    ids=["tri", "tet"],
+)
+def test_p2_stiffness_exact_on_quadratics(mesh):
+    k = P2Kernels(mesh)
+    X = k.dof_coords
+    f = X[:, 0] ** 2
+    g = X[:, 0] ** 2 + (X[:, 1] ** 2 if mesh.dim > 1 else 0.0)
+    # stiffness action via rd_residual with dt=1, D=1, rho=0, c_prev=c:
+    # R = M(c-c) + 1*K c = K c
+    Kf = k.rd_residual(jnp.asarray(f), jnp.asarray(f), 1.0, 0.0, 1.0)
+    got = float(jnp.asarray(g) @ Kf)
+    # ∫ grad(x²)·grad(x²+y²) = ∫ 4x² dx over domain
+    import math
+
+    from glimslib_tpu.core.elements import P1Element, simplex_quadrature
+
+    qp, qw = simplex_quadrature(mesh.dim, 6)
+    p1vals, _ = P1Element(mesh.dim).tabulate(qp)
+    Xc = mesh.points[mesh.cells]
+    xq = np.einsum("qi,cid->cqd", p1vals, Xc)
+    detJ = mesh.cell_volumes * math.factorial(mesh.dim)
+    want = float(np.einsum("c,q,cq->", detJ, qw, 4 * xq[..., 0] ** 2))
+    assert np.isclose(got, want, rtol=1e-12)
+
+
+def test_p2_cell_integral_and_total():
+    mesh = rectangle_mesh((0, 0), (1, 1), 4, 4)
+    k = P2Kernels(mesh)
+    X = k.dof_coords
+    f = 1.0 + X[:, 0]  # linear
+    assert np.isclose(float(k.integrate(jnp.asarray(f))), 1.5, rtol=1e-13)
+    # constant field: per-cell integral == cell volume
+    ones = jnp.ones(k.n_dofs)
+    assert np.allclose(np.asarray(k.cell_integral(ones)), mesh.cell_volumes)
+
+
+def test_quad_model_matches_p1_on_smooth_problem(tmp_path):
+    """P1 and P2 concentration models solve the same PDE: on a smooth
+    problem their solutions agree to discretization accuracy."""
+    from glimslib_tpu.models.tumor_growth import TumorGrowth as TG1
+    from glimslib_tpu.models.tumor_growth_quad import TumorGrowth as TG2
+
+    mesh = rectangle_mesh((-5, -5), (5, 5), 12, 12)
+
+    class Boundary:
+        def inside(self, x, on_boundary):
+            return on_boundary
+
+    def build(cls):
+        sim = cls(mesh)
+        sim.setup_global_parameters(
+            boundaries={"boundary_all": Boundary()},
+            dirichlet_bcs={
+                "clamped": {"bc_value": np.zeros(2),
+                            "named_boundary": "boundary_all", "subspace_id": 0}
+            },
+        )
+        sim.setup_model_parameters(
+            iv_expression={
+                0: np.zeros(2),
+                1: lambda x: np.exp(-0.25 * (x**2).sum(axis=1)),
+            },
+            diffusion=0.2, coupling=0.2, proliferation=0.1, E=0.001,
+            poisson=0.45, sim_time=2, sim_time_step=1,
+        )
+        return sim
+
+    s1 = build(TG1)
+    s1.run(save_method=None, plot=False, output_dir=str(tmp_path / "p1"))
+    s2 = build(TG2)
+    s2.run(save_method=None, plot=False, output_dir=str(tmp_path / "p2"))
+
+    c1 = np.asarray(s1.solution[1])
+    c2 = np.asarray(s2.solution[1])[: mesh.n_nodes]  # vertex part
+    rel = np.linalg.norm(c1 - c2) / np.linalg.norm(c1)
+    assert rel < 0.02, rel  # same PDE, different discretization accuracy
+    u1 = np.asarray(s1.solution[0])
+    u2 = np.asarray(s2.solution[0])
+    rel_u = np.linalg.norm(u1 - u2) / max(np.linalg.norm(u1), 1e-30)
+    assert rel_u < 0.05, rel_u
+
+
+def test_brain_quad_adjoint_gradient(tmp_path):
+    """Gradient through the P2 scan matches finite differences — the quad
+    model is the one the reference optimizes (brain_quad run_for_adjoint)."""
+    from glimslib_tpu.models.tumor_growth_brain_quad import TumorGrowthBrain
+    from glimslib_tpu.optimize.adjoint import InverseProblem, param_map_for_type, thresh
+
+    mesh = rectangle_mesh((0, 0), (10, 10), 7, 7)
+    r = np.linalg.norm((mesh.points - 5.0) / 5.0, axis=1)
+    labels = np.zeros(mesh.n_nodes)
+    labels[r < 0.95] = 1
+    labels[r < 0.8] = 2
+    labels[r < 0.6] = 3
+    labels[r < 0.2] = 4
+
+    class Boundary:
+        def inside(self, x, on_boundary):
+            return on_boundary
+
+    sim = TumorGrowthBrain(mesh)
+    sim.setup_global_parameters(
+        label_function=labels,
+        domain_names={0: "outside", 1: "CSF", 2: "GM", 3: "WM", 4: "Ventricles"},
+        boundaries={"boundary_all": Boundary()},
+        dirichlet_bcs={
+            "clamped": {"bc_value": np.zeros(2),
+                        "named_boundary": "boundary_all", "subspace_id": 0}
+        },
+    )
+    sim.setup_model_parameters(
+        iv_expression={
+            0: np.zeros(2),
+            1: lambda x: np.exp(-((x - 5.5) ** 2).sum(axis=1) / 2.0),
+        },
+        E_GM=3e3, E_WM=3e3, E_CSF=1e3, E_VENT=1e3,
+        nu_GM=0.45, nu_WM=0.45, nu_CSF=0.45, nu_VENT=0.3,
+        D_GM=0.02, D_WM=0.1, rho_GM=0.02, rho_WM=0.1, coupling=0.15,
+        sim_time=2, sim_time_step=1,
+    )
+
+    names, update = param_map_for_type(2)
+    theta = sim.make_theta(sim.params.as_dict())
+    iv = sim.params.create_initial_value_function()
+    simulate = jax.jit(sim.build_simulate_fn(2, 1.0))
+    u_traj, c_traj, ok = simulate(theta, jnp.asarray(iv[0]), jnp.asarray(iv[1]))
+    assert bool(np.asarray(ok).all())
+    targets = {
+        "conc_T2": np.asarray(thresh(c_traj[-1], 0.12)),
+        "disp": np.asarray(u_traj[-1]),
+    }
+    ip = InverseProblem(sim, names, targets, update_fn=update)
+    v0 = np.array([0.05, 0.05])
+    J0, g = ip.value_and_grad(v0)
+    eps = 1e-6
+    for i in range(2):
+        vp = v0.copy(); vp[i] += eps
+        vm = v0.copy(); vm[i] -= eps
+        fd = (ip.objective(vp) - ip.objective(vm)) / (2 * eps)
+        rel = abs(fd - g[i]) / max(abs(fd), 1e-12)
+        assert rel < 1e-4, (i, fd, g[i], rel)
