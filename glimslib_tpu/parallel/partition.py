@@ -71,19 +71,43 @@ class CellPartition:
         return np.asarray(values)[self.cell_perm]
 
 
-def partition_cells(mesh, n_parts: int) -> CellPartition:
+def partition_cells(mesh, n_parts: int, method: str = "graph") -> CellPartition:
     nc = mesh.n_cells
     npe = mesh.dim + 1
-    order = morton_order(mesh.cell_midpoints)
     per = -(-nc // n_parts)  # ceil
-    pad_total = per * n_parts
-    slots = np.zeros(pad_total, dtype=np.int64)
-    slots[:nc] = order
-    pad_mask = np.zeros(pad_total)
-    pad_mask[:nc] = 1.0
 
-    cell_perm = slots.reshape(n_parts, per)
-    mask = pad_mask.reshape(n_parts, per)
+    if method == "graph":
+        # native greedy graph-growing partitioner (lower edge-cut / halo)
+        try:
+            from glimslib_tpu.native import meshops
+
+            part_ids = meshops.partition_graph(mesh.cells, n_parts)
+        except Exception:
+            method = "morton"
+    if method == "morton":
+        order = morton_order(mesh.cell_midpoints)
+        part_ids = np.empty(nc, dtype=np.int64)
+        part_ids[order] = np.minimum(np.arange(nc) // per, n_parts - 1)
+
+    cell_perm = np.zeros((n_parts, per), dtype=np.int64)
+    mask = np.zeros((n_parts, per))
+    for p in range(n_parts):
+        mine = np.where(part_ids == p)[0]
+        # spill overflow cells (graph partitions can exceed the target by a
+        # few) into the last block's padding-free budget round-robin
+        take = mine[:per]
+        cell_perm[p, : len(take)] = take
+        mask[p, : len(take)] = 1.0
+        if len(mine) > per:
+            # reassign overflow to the globally least-filled blocks
+            overflow = mine[per:]
+            fills = mask.sum(axis=1)
+            for c in overflow:
+                q = int(np.argmin(fills))
+                slot = int(fills[q])
+                cell_perm[q, slot] = c
+                mask[q, slot] = 1.0
+                fills[q] += 1.0
     cells = mesh.cells[cell_perm]
     vol = mesh.cell_volumes[cell_perm] * mask
     grads = mesh.cell_grads[cell_perm]
