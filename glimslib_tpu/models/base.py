@@ -72,7 +72,15 @@ class Simulation(ABC):
         self._define_model_params()
         self.kernels = P1Kernels(mesh, dtype=self.dtype)
         self._simulate_jit = None
-        self.step_config = StepConfig()
+        # solver tolerances scale with the working precision: f32 cannot
+        # reach the f64 defaults and would spin every loop to maxiter
+        if self.dtype == jnp.float64:
+            self.step_config = StepConfig()
+        else:
+            self.step_config = StepConfig(
+                newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7,
+                cg_maxiter=1000,
+            )
 
     # -- multi-chip (replaces mpirun, reference README.md:142-183) ----------
 
