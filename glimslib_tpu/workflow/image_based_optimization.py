@@ -133,6 +133,38 @@ class ImageBasedOptimizationBase:
         if hasattr(self, "path_mesh_hdf5") and os.path.exists(self.path_mesh_hdf5):
             self._load_domain()
 
+    # -- simulation reloads (reference l.824-865) ----------------------------
+
+    def _reload_sim(self, name, pipeline_params, output_path):
+        """Rebuild a simulation from pickled parameters and reload its
+        recorded solution series from HDF5."""
+        if name == "optimized":
+            sim = self.init_optimized_problem()
+        else:
+            sim = self._init_problem(
+                name,
+                pipeline_params["seed_position"],
+                pipeline_params["sim_params"],
+                pipeline_params["model_params_varying"],
+                pipeline_params["model_params_fixed"],
+            )
+        series = os.path.join(output_path, "solution_timeseries.h5")
+        if os.path.exists(series):
+            sim.reload_from_hdf5(series, output_dir=output_path)
+        return sim
+
+    def reload_forward_sim(self):
+        return self._reload_sim("forward", self.params_forward,
+                                self.path_forward_sim)
+
+    def reload_inverse_sim(self):
+        return self._reload_sim("inverse", self.params_inverse,
+                                self.path_inverse_sim)
+
+    def reload_optimized_sim(self):
+        return self._reload_sim("optimized", self.params_inverse,
+                                self.path_optimized_sim)
+
     # -- domain preparation (reference l.187-356) ----------------------------
 
     def mesh_domain(self):
