@@ -133,11 +133,12 @@ def make_step(
         c, fnorm, k, bad = jax.lax.while_loop(cond, body, (c0, f0, 0, jnp.asarray(False)))
         conv_c = jnp.logical_and(fnorm <= jnp.maximum(ftol, cfg.newton_atol), ~bad)
 
-        # ---- u-block: single CG (linear) ------------------------------
+        # ---- u-block: single CG (linear), warm-started from the previous
+        # step's displacement (same solution, far fewer iterations) --------
         resid_u = _masked(mask_u, gu, lambda u: el_residual(u, c, theta, t))
         diag_u = jnp.where(mask_u, 1.0, el_diag(theta))
         Mu = lambda r: r / diag_u
-        u0 = jnp.where(mask_u, gu, jnp.zeros_like(u_prev))
+        u0 = jnp.where(mask_u, gu, u_prev)
         ru = resid_u(u0)
         Au = _masked_operator(resid_u, u0, mask_u)
         du, info_u = pcg(
