@@ -71,6 +71,13 @@ class TumorGrowth(Simulation):
     def make_theta(self, params: Dict):
         E = self._per_cell(params["E"])
         nu = self._per_cell(params["poisson"])
+        # time-dependent source/body force: callables f(x_cell_midpoints, t)
+        # evaluated inside the jitted step (the reference's Expression.t
+        # update, helper_classes.py:1055-1077)
+        src = params.get("source_term", 0.0)
+        bf = params.get("body_force")
+        self._source_t = src if callable(src) else None
+        self._body_force_t = bf if callable(bf) else None
         theta = {
             "D": self._per_cell(params["diffusion"]),
             "rho": self._per_cell(params["proliferation"]),
@@ -79,14 +86,23 @@ class TumorGrowth(Simulation):
             "lam": forms.compute_lambda(E, nu),
             "dt": jnp.asarray(float(params["sim_time_step"]), dtype=self.dtype),
             "body_force": jnp.asarray(
-                params.get("body_force")
-                if params.get("body_force") is not None
+                bf if (bf is not None and not callable(bf))
                 else np.zeros(self.mesh.dim),
                 dtype=self.dtype,
             ),
-            "source": self._per_cell(params.get("source_term", 0.0)),
+            "source": self._per_cell(0.0 if callable(src) else src),
         }
         return theta
+
+    _source_t = None
+    _body_force_t = None
+
+    def _midpoints(self):
+        if not hasattr(self, "_cell_mid_jnp"):
+            self._cell_mid_jnp = jnp.asarray(
+                self.mesh.cell_midpoints, dtype=self.dtype
+            )
+        return self._cell_mid_jnp
 
     # -- residuals -----------------------------------------------------------
 
@@ -120,13 +136,18 @@ class TumorGrowth(Simulation):
         return out
 
     def rd_residual(self, c, c_prev, theta, t):
+        source = theta["source"]
+        if self._source_t is not None:
+            source = source + jnp.asarray(
+                self._source_t(self._midpoints(), t), self.dtype
+            )
         r = self.kernels.rd_residual(
             c,
             c_prev,
             theta["D"],
             theta["rho"],
             theta["dt"],
-            source=theta["source"],
+            source=source,
             conc_max=1.0,
         )
         vn = self._vn_rd_term(theta, t)
@@ -135,9 +156,14 @@ class TumorGrowth(Simulation):
         return r
 
     def el_residual(self, u, c, theta, t):
+        bf = theta["body_force"]
+        if self._body_force_t is not None:
+            bf = bf + jnp.asarray(
+                self._body_force_t(self._midpoints(), t), self.dtype
+            )
         r = self.kernels.elasticity_residual(
             u, c, theta["mu"], theta["lam"], theta["coupling"],
-            body_force=theta["body_force"],
+            body_force=bf,
         )
         vn = self.bcs.von_neumann_residual(self.SUBSPACE_DISPLACEMENT, t)
         if vn is not None:

@@ -182,6 +182,16 @@ class InverseProblem:
         self._objective = objective
         self._value_and_grad = jax.jit(jax.value_and_grad(objective))
 
+    def export_computation_graph(self, path, v=None):
+        """Dump the traced objective as a jaxpr text file — the rebuild's
+        analogue of ``sim.tape.visualise()`` (reference
+        image_based_optimization.py:764-765)."""
+        v = np.zeros(len(self.param_names)) if v is None else np.asarray(v)
+        jaxpr = jax.make_jaxpr(self._objective)(jnp.asarray(v, self.sim.dtype))
+        with open(path, "w") as f:
+            f.write(str(jaxpr))
+        return path
+
     def objective(self, v):
         return float(self._value_and_grad(jnp.asarray(v, self.sim.dtype))[0])
 

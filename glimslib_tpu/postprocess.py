@@ -224,6 +224,35 @@ class PostProcessTumorGrowth(PostProcess):
             )
         return outdir
 
+    def plot_for_pub(self, deformed=True, selection=None, output_dir=None):
+        """Publication-style overlay figures: concentration contours on the
+        (optionally deformed) domain with displacement quivers
+        (reference plot_for_pub, helper_classes.py:1857-1920)."""
+        import matplotlib.pyplot as plt
+
+        from glimslib_tpu.visualisation import helpers, plotting as plott
+
+        outdir = output_dir or os.path.join(self.output_dir, "pub")
+        os.makedirs(outdir, exist_ok=True)
+        steps = selection or self.get_recording_steps()
+        for rs in steps:
+            mesh = self.deformed_mesh(rs) if deformed else self.mesh
+            if mesh.dim != 2:
+                continue
+            fig, ax = plt.subplots(figsize=(6, 6))
+            plott.plot_scalar_field(
+                mesh, self.get_concentration(rs), ax=ax, cmap="inferno",
+                colorbar=True, alpha=0.9,
+            )
+            plott.plot_vector_field(
+                mesh, self.get_displacement(rs), ax=ax, color="w", alpha=0.6,
+            )
+            ax.set_axis_off()
+            helpers.show_plot(
+                os.path.join(outdir, f"pub_{rs:04d}.png"), fig
+            )
+        return outdir
+
     def save_all(self, save_method="vtk", output_dir=None, selection=None):
         """Re-export all recorded steps with derived fields
         (reference l.1922-1940)."""

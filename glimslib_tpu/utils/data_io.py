@@ -74,6 +74,27 @@ def fct2image2D(fct: Tuple[Mesh, np.ndarray], nx: int, ny: int) -> Image:
     return Image(data=out.T.copy(), origin=tuple(mins), spacing=tuple(spacing))
 
 
+def compute_spacing(number_list):
+    """Spacing of a sorted coordinate list (reference data_io.py:124-130)."""
+    arr = np.unique(np.asarray(number_list, dtype=np.float64))
+    if len(arr) < 2:
+        return 0.0
+    return float(np.diff(arr).mean())
+
+
+def get_measures_from_structured_mesh(mesh):
+    """Origin/spacing/size of a structured (pixel-lattice) mesh
+    (reference data_io.py:101-130)."""
+    pts = mesh.points
+    out = {}
+    for a, name in enumerate("xyz"[: mesh.dim]):
+        coords = np.unique(pts[:, a])
+        out[f"origin_{name}"] = float(coords[0])
+        out[f"spacing_{name}"] = compute_spacing(coords)
+        out[f"size_{name}"] = int(len(coords))
+    return out
+
+
 def get_measures_from_image(image: Image):
     """(origin, spacing, size, extent) — reference data_io.py:153-174."""
     size = image.size
