@@ -107,30 +107,34 @@ def make_step(
         ftol = jnp.maximum(cfg.newton_rtol * f0, cfg.newton_atol)
 
         def cond(state):
-            c, fnorm, k, bad = state
+            c, r, fnorm, k, bad = state
             return jnp.logical_and(
                 jnp.logical_and(k < cfg.newton_maxiter, fnorm > ftol),
                 jnp.logical_not(bad),
             )
 
         def body(state):
-            c, fnorm, k, bad = state
-            r = resid_c(c)
+            # the current residual is carried: one residual eval per iter
+            c, r, fnorm, k, bad = state
             A = _masked_operator(resid_c, c, mask_c)
             rhs = jnp.where(mask_c, 0.0, -r)
             dc, _ = pcg(A, rhs, M=Mc, rtol=cfg.cg_rtol, atol=cfg.cg_atol,
                         maxiter=cfg.cg_maxiter)
             c_new = c + dc
-            fn_new = jnp.sqrt(jnp.sum(resid_c(c_new) ** 2))
+            r_new = resid_c(c_new)
+            fn_new = jnp.sqrt(jnp.sum(r_new**2))
             is_bad = jnp.logical_or(~jnp.isfinite(fn_new), fn_new > 1e10 * (f0 + 1.0))
             return (
                 jnp.where(is_bad, c, c_new),
+                jnp.where(is_bad, r, r_new),
                 jnp.where(is_bad, fnorm, fn_new),
                 k + 1,
                 is_bad,
             )
 
-        c, fnorm, k, bad = jax.lax.while_loop(cond, body, (c0, f0, 0, jnp.asarray(False)))
+        c, _, fnorm, k, bad = jax.lax.while_loop(
+            cond, body, (c0, r0, f0, 0, jnp.asarray(False))
+        )
         conv_c = jnp.logical_and(fnorm <= jnp.maximum(ftol, cfg.newton_atol), ~bad)
 
         # ---- u-block: single CG (linear), warm-started from the previous
