@@ -223,11 +223,11 @@ class Simulation(ABC):
             def body(carry, i):
                 u_prev, c_prev, ok = carry
                 t = (i + 1.0) * dt
-                u, c, conv = step(theta, u_prev, c_prev, t)
+                u, c, conv, n_newton = step(theta, u_prev, c_prev, t)
                 ok_new = jnp.logical_and(ok, conv)
                 u_out = jnp.where(ok_new, u, u_prev)
                 c_out = jnp.where(ok_new, c, c_prev)
-                return (u_out, c_out, ok_new), (u_out, c_out, ok_new)
+                return (u_out, c_out, ok_new), (u_out, c_out, ok_new, n_newton)
 
             init = (u0, c0, jnp.asarray(True))
             (_, _, ok), traj = jax.lax.scan(
@@ -276,7 +276,10 @@ class Simulation(ABC):
         n_steps = int(round(sim_time / dt + 1e-9))
 
         simulate = jax.jit(self.build_simulate_fn(n_steps, dt))
-        u_traj, c_traj, ok_traj = simulate(theta, u0, c0)
+        u_traj, c_traj, ok_traj, newton_iters = simulate(theta, u0, c0)
+        self.solver_info = {"newton_iters": np.asarray(newton_iters)}
+        self.logger.info("    - newton iterations per step: %s",
+                         list(np.asarray(newton_iters)))
         u_traj = np.asarray(u_traj)
         c_traj = np.asarray(c_traj)
         ok_traj = np.asarray(ok_traj)

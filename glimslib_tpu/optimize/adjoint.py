@@ -165,7 +165,7 @@ class InverseProblem:
             p = dict(base_params)
             p.update(update_fn(v))
             theta = sim.make_theta(p)
-            u_traj, c_traj, ok = simulate(theta, u0, c0)
+            u_traj, c_traj, ok, _ = simulate(theta, u0, c0)
             u_T = u_traj[-1]
             c_T = c_traj[-1]
             J = 0.0

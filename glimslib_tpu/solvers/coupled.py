@@ -155,7 +155,7 @@ def make_step(
         )
         u = u0 + du
         conv_u = jnp.isfinite(info_u["resnorm"])
-        return u, c, jnp.logical_and(conv_c, conv_u)
+        return u, c, jnp.logical_and(conv_c, conv_u), k
 
     @jax.custom_vjp
     def step(theta, u_prev, c_prev, t):
@@ -163,12 +163,12 @@ def make_step(
 
     def step_fwd(theta, u_prev, c_prev, t):
         out = _solve_forward(theta, u_prev, c_prev, t)
-        u, c, conv = out
+        u, c, conv, k = out
         return out, (theta, u_prev, c_prev, t, u, c)
 
     def step_bwd(saved, cot):
         theta, u_prev, c_prev, t, u, c = saved
-        u_bar, c_bar, _ = cot
+        u_bar, c_bar, _, _ = cot
         gc = bc_values_c(t)
         gu = bc_values_u(t)
         resid_c = _masked(mask_c, gc, lambda cc, cp, th: rd_residual(cc, cp, th, t))

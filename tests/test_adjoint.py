@@ -59,7 +59,7 @@ def _make_targets(sim, v_true, names, update):
     u0 = jnp.asarray(iv[0])
     c0 = jnp.asarray(iv[1])
     simulate = sim.build_simulate_fn(2, 1.0)
-    u_traj, c_traj, ok = jax.jit(simulate)(theta, u0, c0)
+    u_traj, c_traj, ok, _ = jax.jit(simulate)(theta, u0, c0)
     assert bool(np.asarray(ok).all())
     c_T = c_traj[-1]
     return {

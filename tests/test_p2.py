@@ -174,7 +174,7 @@ def test_brain_quad_adjoint_gradient(tmp_path):
     theta = sim.make_theta(sim.params.as_dict())
     iv = sim.params.create_initial_value_function()
     simulate = jax.jit(sim.build_simulate_fn(2, 1.0))
-    u_traj, c_traj, ok = simulate(theta, jnp.asarray(iv[0]), jnp.asarray(iv[1]))
+    u_traj, c_traj, ok, _ = simulate(theta, jnp.asarray(iv[0]), jnp.asarray(iv[1]))
     assert bool(np.asarray(ok).all())
     targets = {
         "conc_T2": np.asarray(thresh(c_traj[-1], 0.12)),
