@@ -131,6 +131,12 @@ class BoundaryConditions:
         if nodes is None:
             return None
         ss = self._functionspace.subspaces.get_subspace(subspace_id)
+        if ss.degree > 1:
+            logger.warning(
+                "Dirichlet BC on a degree-%d subspace constrains vertex dofs "
+                "only (edge dofs unconstrained); no reference quad case uses "
+                "this", ss.degree,
+            )
         coords = self._functionspace.dof_coordinates(subspace_id)[nodes]
         return DirichletBC(
             subspace_id, nodes, bc_dict["bc_value"], coords, ss.value_size, self.dtype
