@@ -140,11 +140,17 @@ class Mesh:
     boundary_facet_local: np.ndarray
     boundary_facet_area: np.ndarray
     boundary_facet_normal: np.ndarray
+    # set by the structured constructors (rectangle_mesh/box_mesh): node
+    # index = sum_a idx_a * lattice_strides[a]; enables the offset-stencil
+    # operator fast path (ops/stencil.py)
+    lattice_shape: Optional[tuple] = None
+    lattice_strides: Optional[tuple] = None
 
     # -- construction -------------------------------------------------------
 
     @staticmethod
-    def from_arrays(points: np.ndarray, cells: np.ndarray) -> "Mesh":
+    def from_arrays(points: np.ndarray, cells: np.ndarray,
+                    lattice_shape=None, lattice_strides=None) -> "Mesh":
         points = np.ascontiguousarray(np.asarray(points, dtype=np.float64))
         cells = np.ascontiguousarray(np.asarray(cells, dtype=np.int32))
         assert points.ndim == 2 and cells.ndim == 2
@@ -168,6 +174,8 @@ class Mesh:
             boundary_facet_local=fl.astype(np.int32),
             boundary_facet_area=fa,
             boundary_facet_normal=fnorm,
+            lattice_shape=tuple(lattice_shape) if lattice_shape else None,
+            lattice_strides=tuple(lattice_strides) if lattice_strides else None,
         )
 
     # -- properties ---------------------------------------------------------
@@ -271,6 +279,9 @@ def rectangle_mesh(
     def vid(ix, iy):
         return iy * (nx + 1) + ix
 
+    lattice = (
+        None if diagonal == "crossed" else (((nx + 1), (ny + 1)), (1, nx + 1))
+    )
     cells = []
     for iy in range(ny):
         for ix in range(nx):
@@ -301,6 +312,10 @@ def rectangle_mesh(
             c = cidx[q]
             tris += [(v[0], v[1], c), (v[1], v[2], c), (v[2], v[3], c), (v[3], v[0], c)]
         cells = tris
+    if lattice:
+        return Mesh.from_arrays(pts, np.asarray(cells),
+                                lattice_shape=lattice[0],
+                                lattice_strides=lattice[1])
     return Mesh.from_arrays(pts, np.asarray(cells))
 
 
@@ -342,7 +357,11 @@ def box_mesh(p0, p1, nx: int, ny: int, nz: int) -> Mesh:
         ],
         axis=0,
     )
-    return Mesh.from_arrays(pts, tets)
+    return Mesh.from_arrays(
+        pts, tets,
+        lattice_shape=(nx + 1, ny + 1, nz + 1),
+        lattice_strides=(sx, sy, 1),
+    )
 
 
 def mesh_from_image_lattice(

@@ -198,8 +198,40 @@ class Simulation(ABC):
 
         return mask_u, mask_c, gu, gc
 
+    # operator mode: 'auto' uses the assembled offset-stencil operators on
+    # lattice meshes (ops/stencil.py — streaming CG instead of gather-bound
+    # jvp); 'matrix-free' forces the gather path (e.g. for sharded runs)
+    operator_mode = "auto"
+
+    def _stencil_builders(self):
+        if self.operator_mode == "matrix-free":
+            return None, None
+        if self.mesh.lattice_strides is None:
+            return None, None
+        if getattr(self, "CONCENTRATION_DEGREE", 1) != 1:
+            return None, None
+        if type(self.kernels).__name__ != "P1Kernels":
+            return None, None  # sharded runs keep the shard-mapped path
+        from glimslib_tpu.ops.stencil import StencilOperators
+
+        ops = StencilOperators(self.mesh, dtype=self.dtype)
+
+        def rd_jacobian(theta, c):
+            W = ops.build_rd_jacobian(
+                c, theta["D"], theta["rho"], theta["dt"], conc_max=1.0
+            )
+            return lambda v: ops.apply_scalar(W, v)
+
+        def el_operator(theta):
+            W = ops.build_elasticity(theta["mu"], theta["lam"])
+            return lambda u: ops.apply_vector(W, u)
+
+        self._stencil_ops = ops
+        return rd_jacobian, el_operator
+
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()
+        rd_jacobian, el_operator = self._stencil_builders()
         return make_step(
             rd_residual=self.rd_residual,
             el_residual=self.el_residual,
@@ -210,6 +242,8 @@ class Simulation(ABC):
             bc_values_c=gc,
             bc_values_u=gu,
             config=self.step_config,
+            rd_jacobian=rd_jacobian,
+            el_operator=el_operator,
         )
 
     def build_simulate_fn(self, n_steps: int, dt: float):

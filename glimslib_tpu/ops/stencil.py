@@ -1,0 +1,188 @@
+"""Assembled offset-stencil operators for lattice meshes — the TPU fast path.
+
+Motivation (measured on v5e): random gathers run ~1000x slower than
+streaming reads, and matrix-free CG spends essentially all its time in the
+gather/scatter of element assembly.  For lattice meshes (structured
+rectangle/box meshes and image-derived grids — exactly the meshes this
+framework's medical-imaging pipeline produces), every FEM matrix entry
+connects nodes at one of a *fixed small set of index offsets* (<=15 in 2D,
+<=27 in 3D Kuhn lattices).  So the Jacobians can be assembled ONCE into
+dense per-offset weight planes
+
+    W[o, i] = A[i, i + off_o]
+
+and every operator application becomes pure streaming:
+
+    (A v)[i] = sum_o W[o, i] * v[i + off_o]      (jnp.roll + multiply-add)
+
+Wrapped roll reads are harmless: nodes without a neighbour at offset o have
+W[o, i] = 0 exactly (no FEM entry exists).
+
+This is the TPU-shaped analogue of PETSc's assembled CSR SpMV: instead of
+sparse rows + gathers, dense offset planes + shifts.  Cost model per CG
+iteration at 36k nodes: ~27 x 2 x 0.14 MB of streaming traffic (~microseconds)
+vs ~50 ms for the gather-based path.
+
+Assembly cost: one ``segment_sum`` sweep over the (npe^2 x nc) entry list —
+paid once per theta for elasticity (the operator is constant through the
+whole simulation and across L-BFGS-B iterations, since E/nu are fixed
+parameters) and once per Newton iteration for the concentration block.
+
+Entry formulas (closed forms on the unit-volume simplex, vol-scaled):
+    M_ij      = vol m0 (1 + delta_ij)
+    K_ij      = vol g_i.g_j
+    W(c)_ij   = vol t0 (S + c_i + c_j + delta_ij (S + 2 c_i)),  S = sum_k c_k
+    J_cc      = M + dt D K - dt rho (M - 2 W(c)/c_max)
+    A_uu[(ia),(jb)] = vol (mu (g_j[a] g_i[b] + delta_ab g_i.g_j)
+                           + lam g_j[b] g_i[a])
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StencilPlan:
+    """Host-precomputed entry->(<node>, <offset slot>) maps for a lattice mesh."""
+
+    def __init__(self, mesh):
+        assert mesh.lattice_strides is not None, "mesh is not lattice-tagged"
+        self.mesh = mesh
+        self.dim = mesh.dim
+        self.npe = mesh.dim + 1
+        self.n_nodes = mesh.n_nodes
+        cells = mesh.cells  # (nc, npe)
+        nc = mesh.n_cells
+
+        # offsets: col - row over all (i, j) entry pairs
+        diffs = cells[:, None, :] - cells[:, :, None]  # (nc, i, j): col - row
+        offsets = np.unique(diffs)
+        self.offsets = offsets.astype(np.int64)  # sorted, includes 0
+        self.n_off = len(offsets)
+        slot = np.searchsorted(offsets, diffs)  # (nc, i, j)
+
+        rows = cells[:, :, None]  # (nc, i, 1) broadcast over j
+        rows = np.broadcast_to(rows, diffs.shape)
+        sid = rows.astype(np.int64) * self.n_off + slot  # (nc, i, j)
+        # SoA entry order (i, j, nc) to match the kernels' layouts
+        sid_T = np.ascontiguousarray(sid.transpose(1, 2, 0)).reshape(-1)
+        order = np.argsort(sid_T, kind="stable").astype(np.int32)
+        self.sort_idx = jnp.asarray(order)
+        self.sorted_ids = jnp.asarray(sid_T[order].astype(np.int32))
+        self.n_segments = self.n_nodes * self.n_off
+
+    def accumulate(self, entries_T):
+        """entries (npe_i, npe_j, nc) -> W (n_off, n_nodes)."""
+        flat = entries_T.reshape(-1)
+        s = jnp.take(flat, self.sort_idx, axis=0)
+        w = jax.ops.segment_sum(
+            s, self.sorted_ids, num_segments=self.n_segments,
+            indices_are_sorted=True,
+        )
+        return w.reshape(self.n_nodes, self.n_off).T  # (n_off, n)
+
+
+class StencilOperators:
+    """Builds and applies the stencil-form Jacobians of the coupled system."""
+
+    def __init__(self, mesh, dtype=None):
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+        self.dtype = dtype
+        self.plan = StencilPlan(mesh)
+        self.dim = mesh.dim
+        self.npe = mesh.dim + 1
+        self.n_nodes = mesh.n_nodes
+        self.vol = jnp.asarray(mesh.cell_volumes, dtype=dtype)
+        self.cells_T = jnp.asarray(np.ascontiguousarray(mesh.cells.T))
+        self.grads_T = jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(mesh.cell_grads, 0, -1)),
+            dtype=dtype,
+        )  # (npe, d, nc)
+        self._m0 = 1.0 / ((self.dim + 1) * (self.dim + 2))
+        self._t0 = math.factorial(self.dim) / math.factorial(self.dim + 3)
+        self.offsets = [int(o) for o in self.plan.offsets]
+
+    # -- builders ------------------------------------------------------------
+
+    def build_rd_jacobian(self, c, D, rho, dt, conc_max=1.0):
+        """W (n_off, n) for J_cc = M + dt D K - dt rho (M - 2 W(c)/c_max)."""
+        npe = self.npe
+        v = self.vol
+        g = self.grads_T
+        ce = jnp.take(c, self.cells_T, axis=0)  # (npe, nc)
+        S = jnp.sum(ce, axis=0)
+        D = jnp.asarray(D, self.dtype)
+        rho = jnp.asarray(rho, self.dtype)
+
+        eye = jnp.eye(npe, dtype=self.dtype)
+        # (i, j, nc) entries
+        m = self._m0 * (1.0 + eye)[:, :, None] * v[None, None, :]
+        gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)  # (i, j, nc)
+        k = gg * v[None, None, :]
+        wc = self._t0 * (
+            S[None, None, :]
+            + ce[:, None, :]
+            + ce[None, :, :]
+            + eye[:, :, None] * (S[None, None, :] + 2.0 * ce[:, None, :])
+        ) * v[None, None, :]
+        entries = m + (dt * D) * k - (dt * rho) * (m - 2.0 * wc / conc_max)
+        return self.plan.accumulate(entries)
+
+    def build_elasticity(self, mu, lam):
+        """W (n_off, d, d, n) for the elasticity stiffness operator."""
+        d = self.dim
+        v = self.vol
+        g = self.grads_T  # (npe, d, nc)
+        mu = jnp.asarray(mu, self.dtype)
+        lam = jnp.asarray(lam, self.dtype)
+        gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)  # (i, j, nc)
+        planes = []
+        for a in range(d):
+            row = []
+            for b in range(d):
+                # A[(i a), (j b)] = vol (mu (g_j[a] g_i[b] + dab gg) + lam g_j[b] g_i[a])
+                ent = v * (
+                    mu * (g[None, :, a, :] * g[:, None, b, :]
+                          + (1.0 if a == b else 0.0) * gg)
+                    + lam * (g[None, :, b, :] * g[:, None, a, :])
+                )
+                row.append(self.plan.accumulate(ent))  # (n_off, n)
+            planes.append(jnp.stack(row, axis=1))  # (n_off, d_b, n)
+        return jnp.stack(planes, axis=1)  # (n_off, d_a, d_b, n)
+
+    # -- applications --------------------------------------------------------
+
+    def apply_scalar(self, W, vvec):
+        """(A v)[i] = sum_o W[o, i] v[i + off_o]."""
+        acc = jnp.zeros_like(vvec)
+        for o, off in enumerate(self.offsets):
+            shifted = vvec if off == 0 else jnp.roll(vvec, -off)
+            acc = acc + W[o] * shifted
+        return acc
+
+    def apply_vector(self, W, u):
+        """(A u)[i, a] = sum_o sum_b W[o, a, b, i] u[i + off_o, b].
+
+        u (n, d) -> (n, d)."""
+        d = self.dim
+        cols = []
+        shifted = {}
+        for o, off in enumerate(self.offsets):
+            for b in range(d):
+                key = (off, b)
+                if key not in shifted:
+                    ub = u[:, b]
+                    shifted[key] = ub if off == 0 else jnp.roll(ub, -off)
+        for a in range(d):
+            acc = jnp.zeros(u.shape[0], dtype=u.dtype)
+            for o, off in enumerate(self.offsets):
+                for b in range(d):
+                    acc = acc + W[o, a, b] * shifted[(off, b)]
+            cols.append(acc)
+        return jnp.stack(cols, axis=1)

@@ -5,8 +5,8 @@ PETSc allreduce per Newton iteration, SURVEY.md §3.4) becomes:
 
   - cells sharded over a 1-D ``jax.sharding.Mesh`` axis (ICI on hardware),
   - each device gathers nodal values for its cell block, runs the dense
-    per-cell element math, scatter-adds into a full-length node vector
-    (sorted segment-sum),
+    per-cell element math (shared SoA kernels from ops/assembly.py),
+    scatter-adds into a full-length node vector (sorted segment-sum),
   - one ``psum`` over the mesh axis accumulates inter-device node
     contributions (the halo exchange), yielding replicated residuals.
 
@@ -33,47 +33,12 @@ import numpy as np
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from glimslib_tpu.core.elements import p1_cubic_tensor, p1_mass_matrix
-
-
-def _einsum(spec, *ops):
-    """Tiny-contraction einsum as broadcast-multiply + reduce.
-
-    The element contractions here run over axes of size 3-6; lowering them
-    as ``dot_general`` puts them on the MXU where f32 inputs are truncated
-    to bf16 by default (wrong answers for Newton/CG) and
-    ``Precision.HIGHEST`` triggers a multi-pass codegen with pathological
-    compile times on TPU.  Explicit multiply+reduce stays on the VPU: exact
-    f32/f64 accumulation, fast compiles, and XLA fuses it with the
-    surrounding elementwise work.
-    """
-    if spec in ("ij,cj->ci", "ij,fj->fi"):
-        M, x = ops
-        return jnp.sum(M[None] * x[:, None, :], axis=-1)
-    if spec == "cj,cjd->cd":
-        x, g = ops
-        return jnp.sum(x[:, :, None] * g, axis=1)
-    if spec == "cd,cid->ci":
-        gc, g = ops
-        return jnp.sum(gc[:, None, :] * g, axis=-1)
-    if spec == "ijk,cj,ck->ci":
-        T, a, b = ops
-        return jnp.sum(
-            T[None] * a[:, None, :, None] * b[:, None, None, :], axis=(-2, -1)
-        )
-    if spec == "cid,cid->ci":
-        a, b = ops
-        return jnp.sum(a * b, axis=-1)
-    if spec == "cja,cjb->cab":
-        u, g = ops
-        return jnp.sum(u[:, :, :, None] * g[:, :, None, :], axis=1)
-    if spec == "cab,cib->cia":
-        s, g = ops
-        return jnp.sum(s[:, None, :, :] * g[:, :, None, :], axis=-1)
-    if spec in ("ij,cjd->cid", "ij,fja->fia"):
-        M, u = ops
-        return jnp.sum(M[None, :, :, None] * u[:, None, :, :], axis=2)
-    raise NotImplementedError(spec)
+from glimslib_tpu.ops.assembly import (
+    elasticity_diag_contrib,
+    elasticity_element_contrib,
+    rd_diag_contrib,
+    rd_element_contrib,
+)
 
 try:  # jax>=0.6 stable name
     from jax import shard_map
@@ -91,8 +56,9 @@ def make_device_mesh(n_devices: Optional[int] = None, axis_name: str = "mesh_x")
 class ShardedP1Kernels:
     """Drop-in sharded replacement for P1Kernels (same method names).
 
-    All coefficient arguments are materialized per-cell and sharded with the
-    cell blocks; nodal vectors are replicated."""
+    Per-device block arrays use the same SoA layout as P1Kernels (cell axis
+    last); coefficients are materialized per-cell and sharded with the cell
+    blocks; nodal vectors are replicated."""
 
     def __init__(self, mesh, device_mesh: DeviceMesh, dtype=None):
         from glimslib_tpu.parallel.partition import partition_cells
@@ -110,16 +76,30 @@ class ShardedP1Kernels:
         n_parts = device_mesh.devices.size
         self.part = partition_cells(mesh, n_parts)
 
+        import math
+
+        self._m0 = 1.0 / ((self.dim + 1) * (self.dim + 2))
+        self._t0 = math.factorial(self.dim) / math.factorial(self.dim + 3)
+
+        # SoA per-part arrays (leading axis = parts, cell axis last)
+        cells_T = np.ascontiguousarray(self.part.cells.transpose(0, 2, 1))
+        grads_T = np.ascontiguousarray(self.part.grads.transpose(0, 2, 3, 1))
+        per = cells_T.shape[-1]
+        sort_idx = np.zeros((n_parts, self.npe * per), dtype=np.int32)
+        sorted_ids = np.zeros((n_parts, self.npe * per), dtype=np.int32)
+        for p in range(n_parts):
+            flat = cells_T[p].ravel()
+            si = np.argsort(flat, kind="stable").astype(np.int32)
+            sort_idx[p] = si
+            sorted_ids[p] = flat[si]
+
         self._shard = NamedSharding(device_mesh, P(self.axis))
-        self._rep = NamedSharding(device_mesh, P())
         put = lambda a: jax.device_put(jnp.asarray(a), self._shard)
-        self.cells = put(self.part.cells)
-        self.vol = put(jnp.asarray(self.part.vol, dtype=dtype))
-        self.grads = put(jnp.asarray(self.part.grads, dtype=dtype))
-        self.sort_idx = put(self.part.sort_idx)
-        self.sorted_ids = put(self.part.sorted_ids)
-        self.mass_unit = jnp.asarray(p1_mass_matrix(self.dim), dtype=dtype)
-        self.cubic_unit = jnp.asarray(p1_cubic_tensor(self.dim), dtype=dtype)
+        self.cells_T = put(cells_T)  # (P, npe, C)
+        self.vol = put(jnp.asarray(self.part.vol, dtype=dtype))  # (P, C)
+        self.grads_T = put(jnp.asarray(grads_T, dtype=dtype))  # (P, npe, d, C)
+        self.sort_idx = put(sort_idx)
+        self.sorted_ids = put(sorted_ids)
         self._cell_perm = jnp.asarray(self.part.cell_perm)
 
     # -- plumbing ------------------------------------------------------------
@@ -132,61 +112,58 @@ class ShardedP1Kernels:
         return jnp.take(v, self._cell_perm, axis=0)
 
     def _run(self, local, cell_args, rep_args):
-        """shard_map with the standard (cells, vol, grads, sort, ids) block
-        plus extra cell-sharded and replicated args."""
         n_cell = 5 + len(cell_args)
         in_specs = (P(self.axis),) * n_cell + (P(),) * len(rep_args)
         fn = shard_map(
             local, mesh=self.device_mesh, in_specs=in_specs, out_specs=P()
         )
         return fn(
-            self.cells, self.vol, self.grads, self.sort_idx, self.sorted_ids,
-            *cell_args, *rep_args,
+            self.cells_T, self.vol, self.grads_T, self.sort_idx,
+            self.sorted_ids, *cell_args, *rep_args,
         )
+
+    @staticmethod
+    def _local_scatter(contrib_flat, sort_idx, sorted_ids, n_nodes, axis):
+        s = jnp.take(contrib_flat, sort_idx, axis=0)
+        r = jax.ops.segment_sum(
+            s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
+        )
+        return jax.lax.psum(r, axis)
 
     # -- kernels -------------------------------------------------------------
 
     def rd_residual(self, c, c_prev, D, rho, dt, source=0.0, conc_max=1.0):
-        mass_unit, cubic_unit = self.mass_unit, self.cubic_unit
-        axis, n_nodes, npe, dim = self.axis, self.n_nodes, self.npe, self.dim
+        axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
+        m0, t0 = self._m0, self._t0
+        scatter = self._local_scatter
 
         def local(cells, vol, grads, sort_idx, sorted_ids, D, rho, src,
                   c, c_prev, dt):
             cells, vol, grads = cells[0], vol[0], grads[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             D, rho, src = D[0], rho[0], src[0]
-            ce = jnp.take(c, cells, axis=0)
+            ce = jnp.take(c, cells, axis=0)  # (npe, C)
             cpe = jnp.take(c_prev, cells, axis=0)
-            m_diff = vol[:, None] * _einsum("ij,cj->ci", mass_unit, ce - cpe)
-            grad_c = _einsum("cj,cjd->cd", ce, grads)
-            k_term = (dt * D * vol)[:, None] * _einsum(
-                "cd,cid->ci", grad_c, grads
+            contrib = rd_element_contrib(
+                ce, cpe, grads, vol, D, rho, dt, src, conc_max, m0, t0, dim
             )
-            m_c = _einsum("ij,cj->ci", mass_unit, ce)
-            t_cc = _einsum("ijk,cj,ck->ci", cubic_unit, ce, ce)
-            logistic = (dt * rho * vol)[:, None] * (m_c - t_cc / conc_max)
-            srct = (dt * src * vol / (dim + 1))[:, None] * jnp.ones(
-                (1, npe), ce.dtype
-            )
-            contrib = (m_diff + k_term - logistic - srct).reshape(-1)
-            s = jnp.take(contrib, sort_idx, axis=0)
-            r = jax.ops.segment_sum(
-                s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
-            )
-            return jax.lax.psum(r, axis)
+            return scatter(contrib.reshape(-1), sort_idx, sorted_ids,
+                           n_nodes, axis)
 
         return self._run(
             local,
-            cell_args=(self._cellwise(D), self._cellwise(rho), self._cellwise(source)),
+            cell_args=(self._cellwise(D), self._cellwise(rho),
+                       self._cellwise(source)),
             rep_args=(c, c_prev, jnp.asarray(dt, self.dtype)),
         )
 
     def elasticity_residual(self, u, c, mu, lam, coupling, body_force=None):
-        d, axis, n_nodes = self.dim, self.axis, self.n_nodes
+        axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
+        scatter = self._local_scatter
         bf = (
-            jnp.zeros((d,), self.dtype)
+            jnp.zeros((dim,), self.dtype)
             if body_force is None
-            else jnp.broadcast_to(jnp.asarray(body_force, self.dtype), (d,))
+            else jnp.broadcast_to(jnp.asarray(body_force, self.dtype), (dim,))
         )
 
         def local(cells, vol, grads, sort_idx, sorted_ids, mu, lam,
@@ -194,27 +171,20 @@ class ShardedP1Kernels:
             cells, vol, grads = cells[0], vol[0], grads[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             mu, lam = mu[0], lam[0]
-            ue = jnp.take(u, cells, axis=0)
             ce = jnp.take(c, cells, axis=0)
-            grad_u = _einsum("cja,cjb->cab", ue, grads)
-            eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, 1, 2))
-            tr = jnp.trace(eps, axis1=1, axis2=2)
-            sigma = (
-                2.0 * mu[:, None, None] * eps
-                + (lam * tr)[:, None, None] * jnp.eye(d, dtype=ue.dtype)
+            c_int = ce.mean(axis=0) * vol
+            ue = jnp.stack(
+                [jnp.take(u[:, a], cells, axis=0) for a in range(dim)], axis=0
             )
-            term_stress = vol[:, None, None] * _einsum(
-                "cab,cib->cia", sigma, grads
+            contrib = elasticity_element_contrib(
+                ue, c_int, grads, vol, mu, lam, coupling, bf[:, None], dim
             )
-            cbar = ce.mean(axis=1)
-            kfac = coupling * (2.0 * mu + d * lam) * cbar * vol
-            contrib = term_stress - kfac[:, None, None] * grads
-            contrib = contrib - (vol / (d + 1))[:, None, None] * bf[None, None, :]
-            s = jnp.take(contrib.reshape(-1, d), sort_idx, axis=0)
-            r = jax.ops.segment_sum(
-                s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
-            )
-            return jax.lax.psum(r, axis)
+            cols = [
+                scatter(contrib[:, a, :].reshape(-1), sort_idx, sorted_ids,
+                        n_nodes, axis)
+                for a in range(dim)
+            ]
+            return jnp.stack(cols, axis=1)
 
         return self._run(
             local,
@@ -223,22 +193,17 @@ class ShardedP1Kernels:
         )
 
     def rd_mass_stiffness_diag(self, D, rho, dt):
-        mass_diag = jnp.diag(self.mass_unit)
-        axis, n_nodes = self.axis, self.n_nodes
+        axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
+        m0 = self._m0
+        scatter = self._local_scatter
 
         def local(cells, vol, grads, sort_idx, sorted_ids, D, dt):
             cells, vol, grads = cells[0], vol[0], grads[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             D = D[0]
-            mdiag = vol[:, None] * mass_diag[None, :]
-            kdiag = (dt * D * vol)[:, None] * _einsum(
-                "cid,cid->ci", grads, grads
-            )
-            s = jnp.take((mdiag + kdiag).reshape(-1), sort_idx, axis=0)
-            r = jax.ops.segment_sum(
-                s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
-            )
-            return jax.lax.psum(r, axis)
+            contrib = rd_diag_contrib(grads, vol, D, dt, m0, dim)
+            return scatter(contrib.reshape(-1), sort_idx, sorted_ids,
+                           n_nodes, axis)
 
         return self._run(
             local, cell_args=(self._cellwise(D),),
@@ -247,22 +212,19 @@ class ShardedP1Kernels:
 
     def elasticity_diag(self, mu, lam):
         axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
+        scatter = self._local_scatter
 
         def local(cells, vol, grads, sort_idx, sorted_ids, mu, lam):
             cells, vol, grads = cells[0], vol[0], grads[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             mu, lam = mu[0], lam[0]
-            g2 = _einsum("cid,cid->ci", grads, grads)
-            ga2 = grads**2
-            diag = (
-                vol[:, None, None] * mu[:, None, None] * (g2[:, :, None] + ga2)
-                + vol[:, None, None] * lam[:, None, None] * ga2
-            )
-            s = jnp.take(diag.reshape(-1, dim), sort_idx, axis=0)
-            r = jax.ops.segment_sum(
-                s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
-            )
-            return jax.lax.psum(r, axis)
+            contrib = elasticity_diag_contrib(grads, vol, mu, lam)
+            cols = [
+                scatter(contrib[:, a, :].reshape(-1), sort_idx, sorted_ids,
+                        n_nodes, axis)
+                for a in range(dim)
+            ]
+            return jnp.stack(cols, axis=1)
 
         return self._run(
             local, cell_args=(self._cellwise(mu), self._cellwise(lam)),
@@ -270,36 +232,37 @@ class ShardedP1Kernels:
         )
 
     def mass_residual(self, c):
-        mass_unit, axis, n_nodes = self.mass_unit, self.axis, self.n_nodes
+        axis, n_nodes = self.axis, self.n_nodes
+        m0 = self._m0
+        scatter = self._local_scatter
 
         def local(cells, vol, grads, sort_idx, sorted_ids, c):
             cells, vol = cells[0], vol[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
             ce = jnp.take(c, cells, axis=0)
-            contrib = vol[:, None] * _einsum("ij,cj->ci", mass_unit, ce)
-            s = jnp.take(contrib.reshape(-1), sort_idx, axis=0)
-            r = jax.ops.segment_sum(
-                s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
-            )
-            return jax.lax.psum(r, axis)
+            contrib = vol * (m0 * (jnp.sum(ce, axis=0) + ce))
+            return scatter(contrib.reshape(-1), sort_idx, sorted_ids,
+                           n_nodes, axis)
 
         return self._run(local, cell_args=(), rep_args=(c,))
 
     def mass_vector_residual(self, u):
-        mass_unit, axis, n_nodes, dim = (
-            self.mass_unit, self.axis, self.n_nodes, self.dim
-        )
+        axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
+        m0 = self._m0
+        scatter = self._local_scatter
 
         def local(cells, vol, grads, sort_idx, sorted_ids, u):
             cells, vol = cells[0], vol[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
-            ue = jnp.take(u, cells, axis=0)
-            contrib = vol[:, None, None] * _einsum("ij,cjd->cid", mass_unit, ue)
-            s = jnp.take(contrib.reshape(-1, dim), sort_idx, axis=0)
-            r = jax.ops.segment_sum(
-                s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
-            )
-            return jax.lax.psum(r, axis)
+            cols = []
+            for a in range(dim):
+                ue = jnp.take(u[:, a], cells, axis=0)
+                contrib = vol * (m0 * (jnp.sum(ue, axis=0) + ue))
+                cols.append(
+                    scatter(contrib.reshape(-1), sort_idx, sorted_ids,
+                            n_nodes, axis)
+                )
+            return jnp.stack(cols, axis=1)
 
         return self._run(local, cell_args=(), rep_args=(u,))
 
@@ -309,6 +272,6 @@ class ShardedP1Kernels:
         def local(cells, vol, grads, sort_idx, sorted_ids, c):
             cells, vol = cells[0], vol[0]
             ce = jnp.take(c, cells, axis=0)
-            return jax.lax.psum(jnp.sum(vol * ce.mean(axis=1)), axis)
+            return jax.lax.psum(jnp.sum(vol * ce.mean(axis=0)), axis)
 
         return self._run(local, cell_args=(), rep_args=(c,))

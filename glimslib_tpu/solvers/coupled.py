@@ -85,12 +85,24 @@ def make_step(
     bc_values_c: Callable,  # (t) -> (n_c,)
     bc_values_u: Callable,  # (t) -> (n_u, d)
     config: StepConfig = StepConfig(),
+    rd_jacobian: Callable = None,  # (theta, c) -> callable(v) = J_cc v
+    el_operator: Callable = None,  # (theta) -> callable(u) = A_uu u
 ):
     """Build the differentiable coupled step:
 
-        step(theta, u_prev, c_prev, t) -> (u, c, converged)
-    """
+        step(theta, u_prev, c_prev, t) -> (u, c, converged, n_newton)
+
+    When ``rd_jacobian``/``el_operator`` are given (the assembled
+    offset-stencil fast path, ops/stencil.py), CG applies those operators
+    instead of jvp-ing the gather-based residuals — identical linear
+    systems, streaming memory access."""
     cfg = config
+
+    def _op_masked(raw_op, mask):
+        def A(v):
+            return jnp.where(mask, v, raw_op(jnp.where(mask, 0.0, v)))
+
+        return A
 
     def _solve_forward(theta, u_prev, c_prev, t):
         gc = bc_values_c(t)
@@ -116,7 +128,10 @@ def make_step(
         def body(state):
             # the current residual is carried: one residual eval per iter
             c, r, fnorm, k, bad = state
-            A = _masked_operator(resid_c, c, mask_c)
+            if rd_jacobian is not None:
+                A = _op_masked(rd_jacobian(theta, c), mask_c)
+            else:
+                A = _masked_operator(resid_c, c, mask_c)
             rhs = jnp.where(mask_c, 0.0, -r)
             dc, _ = pcg(A, rhs, M=Mc, rtol=cfg.cg_rtol, atol=cfg.cg_atol,
                         maxiter=cfg.cg_maxiter)
@@ -144,7 +159,10 @@ def make_step(
         Mu = lambda r: r / diag_u
         u0 = jnp.where(mask_u, gu, u_prev)
         ru = resid_u(u0)
-        Au = _masked_operator(resid_u, u0, mask_u)
+        if el_operator is not None:
+            Au = _op_masked(el_operator(theta), mask_u)
+        else:
+            Au = _masked_operator(resid_u, u0, mask_u)
         du, info_u = pcg(
             Au,
             jnp.where(mask_u, 0.0, -ru),
@@ -178,7 +196,10 @@ def make_step(
         diag_u = jnp.where(mask_u, 1.0, el_diag(theta))
 
         # adjoint elasticity solve: A_uu^T lam_u = u_bar (A symmetric)
-        Au = _masked_operator(lambda uu: resid_u(uu, c, theta), u, mask_u)
+        if el_operator is not None:
+            Au = _op_masked(el_operator(theta), mask_u)
+        else:
+            Au = _masked_operator(lambda uu: resid_u(uu, c, theta), u, mask_u)
         lam_u, _ = pcg(
             Au, jnp.where(mask_u, 0.0, u_bar), M=lambda r: r / diag_u,
             rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
@@ -187,7 +208,10 @@ def make_step(
         _, vjp_u = jax.vjp(lambda cc, th: resid_u(u, cc, th), c, theta)
         dRu_dc_T_lam, theta_bar_u = vjp_u(lam_u)
         rhs_c = c_bar - dRu_dc_T_lam
-        Ac = _masked_operator(lambda cc: resid_c(cc, c_prev, theta), c, mask_c)
+        if rd_jacobian is not None:
+            Ac = _op_masked(rd_jacobian(theta, c), mask_c)
+        else:
+            Ac = _masked_operator(lambda cc: resid_c(cc, c_prev, theta), c, mask_c)
         lam_c, _ = pcg(
             Ac, jnp.where(mask_c, 0.0, rhs_c), M=lambda r: r / diag_c,
             rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
