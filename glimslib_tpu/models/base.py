@@ -205,13 +205,13 @@ class Simulation(ABC):
 
     def _stencil_builders(self):
         if self.operator_mode == "matrix-free":
-            return None, None
+            return None, None, None
         if self.mesh.lattice_strides is None:
-            return None, None
+            return None, None, None
         if getattr(self, "CONCENTRATION_DEGREE", 1) != 1:
-            return None, None
+            return None, None, None
         if type(self.kernels).__name__ != "P1Kernels":
-            return None, None  # sharded runs keep the shard-mapped path
+            return None, None, None  # sharded runs keep the shard-mapped path
         from glimslib_tpu.ops.stencil import StencilOperators
 
         ops = StencilOperators(self.mesh, dtype=self.dtype)
@@ -226,12 +226,17 @@ class Simulation(ABC):
             W = ops.build_elasticity(theta["mu"], theta["lam"])
             return lambda u: ops.apply_vector(W, u)
 
+        def el_precond(theta):
+            W = ops.build_elasticity(theta["mu"], theta["lam"])
+            Binv = ops.block_jacobi_inverse(W)
+            return lambda r: ops.apply_block_jacobi(Binv, r)
+
         self._stencil_ops = ops
-        return rd_jacobian, el_operator
+        return rd_jacobian, el_operator, el_precond
 
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()
-        rd_jacobian, el_operator = self._stencil_builders()
+        rd_jacobian, el_operator, el_precond = self._stencil_builders()
         return make_step(
             rd_residual=self.rd_residual,
             el_residual=self.el_residual,
@@ -244,6 +249,7 @@ class Simulation(ABC):
             config=self.step_config,
             rd_jacobian=rd_jacobian,
             el_operator=el_operator,
+            el_precond=el_precond,
         )
 
     def build_simulate_fn(self, n_steps: int, dt: float):

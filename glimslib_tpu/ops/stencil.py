@@ -166,6 +166,28 @@ class StencilOperators:
             acc = acc + W[o] * shifted
         return acc
 
+    def block_jacobi_inverse(self, W, mask=None):
+        """Per-node (d, d) diagonal-block inverse from the zero-offset plane
+        — a much stronger preconditioner than scalar Jacobi for
+        near-incompressible elasticity (nu ~ 0.45).
+
+        Returns Binv (d, d, n); apply as M(r) = einsum('abn,nb->na')."""
+        d = self.dim
+        o0 = self.offsets.index(0)
+        B = W[o0]  # (d, d, n)
+        if mask is not None:
+            # masked (Dirichlet) nodes use the identity block
+            m = jnp.any(mask, axis=1)  # (n,)
+            eye = jnp.eye(d, dtype=B.dtype)[:, :, None]
+            B = jnp.where(m[None, None, :], eye, B)
+        Bt = jnp.moveaxis(B, -1, 0)  # (n, d, d)
+        Binv = jnp.linalg.inv(Bt)
+        return jnp.moveaxis(Binv, 0, -1)  # (d, d, n)
+
+    def apply_block_jacobi(self, Binv, r):
+        """r (n, d) -> (n, d): per-node 3x3 (or 2x2) solve."""
+        return jnp.sum(Binv[:, :, :].transpose(2, 0, 1) * r[:, None, :], axis=2)
+
     def apply_vector(self, W, u):
         """(A u)[i, a] = sum_o sum_b W[o, a, b, i] u[i + off_o, b].
 

@@ -87,6 +87,7 @@ def make_step(
     config: StepConfig = StepConfig(),
     rd_jacobian: Callable = None,  # (theta, c) -> callable(v) = J_cc v
     el_operator: Callable = None,  # (theta) -> callable(u) = A_uu u
+    el_precond: Callable = None,  # (theta) -> callable(r) ~ A_uu^{-1} r
 ):
     """Build the differentiable coupled step:
 
@@ -155,8 +156,12 @@ def make_step(
         # ---- u-block: single CG (linear), warm-started from the previous
         # step's displacement (same solution, far fewer iterations) --------
         resid_u = _masked(mask_u, gu, lambda u: el_residual(u, c, theta, t))
-        diag_u = jnp.where(mask_u, 1.0, el_diag(theta))
-        Mu = lambda r: r / diag_u
+        if el_precond is not None:
+            Mu_raw = el_precond(theta)
+            Mu = lambda r: jnp.where(mask_u, r, Mu_raw(jnp.where(mask_u, 0.0, r)))
+        else:
+            diag_u = jnp.where(mask_u, 1.0, el_diag(theta))
+            Mu = lambda r: r / diag_u
         u0 = jnp.where(mask_u, gu, u_prev)
         ru = resid_u(u0)
         if el_operator is not None:
@@ -193,7 +198,12 @@ def make_step(
         resid_u = _masked(mask_u, gu, lambda uu, cc, th: el_residual(uu, cc, th, t))
 
         diag_c = jnp.where(mask_c, 1.0, rd_diag(theta))
-        diag_u = jnp.where(mask_u, 1.0, el_diag(theta))
+        if el_precond is not None:
+            Mu_raw = el_precond(theta)
+            Mu = lambda r: jnp.where(mask_u, r, Mu_raw(jnp.where(mask_u, 0.0, r)))
+        else:
+            diag_u = jnp.where(mask_u, 1.0, el_diag(theta))
+            Mu = lambda r: r / diag_u
 
         # adjoint elasticity solve: A_uu^T lam_u = u_bar (A symmetric)
         if el_operator is not None:
@@ -201,7 +211,7 @@ def make_step(
         else:
             Au = _masked_operator(lambda uu: resid_u(uu, c, theta), u, mask_u)
         lam_u, _ = pcg(
-            Au, jnp.where(mask_u, 0.0, u_bar), M=lambda r: r / diag_u,
+            Au, jnp.where(mask_u, 0.0, u_bar), M=Mu,
             rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
         )
         # rhs for c adjoint: c_bar - (dR_u/dc)^T lam_u
