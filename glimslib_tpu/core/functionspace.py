@@ -230,6 +230,8 @@ class FunctionSpace:
             rtol = 1e-12 if k.dtype == jnp.float64 else 1e-6
         b = b.astype(np.float64 if k.dtype == jnp.float64 else np.float32)
         lumped = k.lumped_mass()
+        # full-lattice meshes may carry unused nodes (zero mass rows): guard
+        lumped = jnp.where(lumped > 0, lumped, 1.0)
         if ss.value_size == 1:
             A = lambda x: k.mass_residual(x)
             M = lambda r: r / lumped

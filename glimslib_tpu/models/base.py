@@ -182,9 +182,25 @@ class Simulation(ABC):
 
     # -- the jitted time loop ----------------------------------------------
 
+    def _unused_node_mask(self):
+        """Nodes not referenced by any cell (full-lattice image meshes keep
+        them for the stencil fast path): treated as zero-Dirichlet dofs."""
+        if not hasattr(self, "_unused_nodes_cache"):
+            used = np.zeros(self.mesh.n_nodes, dtype=bool)
+            used[np.unique(self.mesh.cells.ravel())] = True
+            self._unused_nodes_cache = ~used
+        return self._unused_nodes_cache
+
     def _bc_masks_and_values(self):
         mask_u, _ = self.bcs.dirichlet_mask_and_values(self.SUBSPACE_DISPLACEMENT)
         mask_c, _ = self.bcs.dirichlet_mask_and_values(self.SUBSPACE_CONCENTRATION)
+        unused = self._unused_node_mask()
+        if unused.any():
+            uu = jnp.asarray(unused)
+            mask_u = jnp.logical_or(mask_u, uu[:, None])
+            n_c = mask_c.shape[0]
+            if n_c == self.mesh.n_nodes:  # P1 concentration space
+                mask_c = jnp.logical_or(mask_c, uu)
 
         def gu(t):
             return self.bcs.dirichlet_mask_and_values(

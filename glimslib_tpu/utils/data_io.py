@@ -283,8 +283,11 @@ def save_mesh_hdf5(mesh: Mesh, path_to_file, subdomains=None, boundaries=None):
 
     os.makedirs(os.path.dirname(os.path.abspath(path_to_file)), exist_ok=True)
     with h5py.File(path_to_file, "w") as f:
-        f.create_dataset("mesh/points", data=mesh.points)
+        g = f.create_dataset("mesh/points", data=mesh.points)
         f.create_dataset("mesh/cells", data=mesh.cells)
+        if mesh.lattice_shape is not None:
+            f["mesh"].attrs["lattice_shape"] = mesh.lattice_shape
+            f["mesh"].attrs["lattice_strides"] = mesh.lattice_strides
         if subdomains is not None:
             f.create_dataset("subdomains", data=np.asarray(subdomains))
         if boundaries is not None:
@@ -297,7 +300,13 @@ def read_mesh_hdf5(path_to_file):
     import h5py
 
     with h5py.File(path_to_file, "r") as f:
-        mesh = Mesh.from_arrays(f["mesh/points"][...], f["mesh/cells"][...])
+        lat_shape = f["mesh"].attrs.get("lattice_shape")
+        lat_strides = f["mesh"].attrs.get("lattice_strides")
+        mesh = Mesh.from_arrays(
+            f["mesh/points"][...], f["mesh/cells"][...],
+            lattice_shape=tuple(int(x) for x in lat_shape) if lat_shape is not None else None,
+            lattice_strides=tuple(int(x) for x in lat_strides) if lat_strides is not None else None,
+        )
         subdomains = f["subdomains"][...] if "subdomains" in f else None
         boundaries = f["boundaries"][...] if "boundaries" in f else None
     return mesh, subdomains, boundaries

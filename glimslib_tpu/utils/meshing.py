@@ -31,12 +31,17 @@ logger = logging.getLogger(__name__)
 # ---------------------------------------------------------------------------
 
 
-def mesh_image_labels(image: Image, downsample: int = 1):
+def mesh_image_labels(image: Image, downsample: int = 1, full_lattice=False):
     """Labeled 3D image -> (Mesh, cell_labels): each foreground voxel
     (label > 0) becomes 6 tets (Kuhn subdivision); vertices sit on voxel
     corners in physical coordinates; cell label = voxel label.
 
-    Unused vertices are dropped (reference orphan repair, data_io.py:413-467).
+    ``full_lattice=False`` drops unused vertices (reference orphan repair,
+    data_io.py:413-467).  ``full_lattice=True`` keeps every corner of the
+    bounding lattice and tags the mesh with lattice strides — enabling the
+    offset-stencil operator fast path (ops/stencil.py); nodes untouched by
+    any cell are auto-masked by the solvers (Simulation handles them as
+    zero-Dirichlet dofs).
     """
     data = np.asarray(image.data)
     assert data.ndim == 3, "mesh_image_labels needs a 3D labelmap"
@@ -74,8 +79,22 @@ def mesh_image_labels(image: Image, downsample: int = 1):
     )
     labels = np.tile(data[iz, iy, ix], 6).astype(np.int32)
 
-    # full corner coordinates (built lazily from indices actually used)
-    from glimslib_tpu.utils.data_io import remove_orphaned_vertices
+    if full_lattice:
+        # all lattice corner coordinates, index = ix*sx_ + iy*sy_ + iz
+        gx, gy, gz = np.meshgrid(
+            np.arange(nx + 1), np.arange(ny + 1), np.arange(nz + 1),
+            indexing="ij",
+        )
+        coords = np.stack(
+            [ox + gx.ravel() * sx, oy + gy.ravel() * sy, oz + gz.ravel() * sz],
+            axis=1,
+        ).astype(np.float64)
+        mesh = Mesh.from_arrays(
+            coords, tets,
+            lattice_shape=(nx + 1, ny + 1, nz + 1),
+            lattice_strides=(sx_, sy_, 1),
+        )
+        return mesh, labels
 
     used = np.unique(tets.ravel())
     gx = used // sx_

@@ -205,7 +205,8 @@ class ImageBasedOptimizationBase:
         from glimslib_tpu.utils import meshing
 
         img = read_image(self.path_to_labels_atlas_orig)
-        mesh, cell_labels = meshing.mesh_image_labels(img)
+        # full-lattice keeps the offset-stencil fast path available
+        mesh, cell_labels = meshing.mesh_image_labels(img, full_lattice=True)
         self.mesh = mesh
         # nodal label function from cell labels (majority vote via averaging)
         from glimslib_tpu.utils.vtk_utils import cell_to_point_data
