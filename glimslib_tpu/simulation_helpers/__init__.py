@@ -26,6 +26,14 @@ from glimslib_tpu.visualisation.plotting import Plotting
 # coefficient dispatch — here a differentiable lookup-by-label gather
 DiscontinuousScalar = TissueCoefficient
 
+
+def AnyDimPoint(coords):
+    """Dimension-agnostic point constructor (reference AnyDimPoint,
+    helper_classes.py:23-45): here simply a float array of any length."""
+    import numpy as np
+
+    return np.asarray(coords, dtype=np.float64)
+
 from glimslib_tpu.simulation_helpers import math_linear_elasticity  # noqa: E402
 from glimslib_tpu.simulation_helpers import math_reaction_diffusion  # noqa: E402
 

@@ -209,6 +209,33 @@ def read_vtk_convert_to_fenics(path_to_vtk, domain_array_name="ElementBlockIds")
     return mesh, subdomains
 
 
+def convert_fenics_mesh_to_meshio(mesh: Mesh, subdomains=None):
+    """Mesh -> meshio-style dict {points, cells, cell_data}
+    (reference convert_fenics_mesh_to_meshio, l.527-547)."""
+    out = {"points": mesh.points, "cells": mesh.cells}
+    if subdomains is not None:
+        out["cell_data"] = {"ElementBlockIds": np.asarray(subdomains)}
+    return out
+
+
+def convert_meshio_to_fenics_mesh(meshio_like, domain_array_name="ElementBlockIds"):
+    """meshio-style dict/object -> (Mesh, subdomains) with orphan repair
+    (reference convert_meshio_to_fenics_mesh, l.469-524)."""
+    pts = np.asarray(meshio_like["points"] if isinstance(meshio_like, dict)
+                     else meshio_like.points)
+    cells = np.asarray(meshio_like["cells"] if isinstance(meshio_like, dict)
+                       else meshio_like.cells)
+    cd = (meshio_like.get("cell_data", {}) if isinstance(meshio_like, dict)
+          else getattr(meshio_like, "cell_data", {}))
+    dim = cells.shape[1] - 1
+    pts = pts[:, :dim]
+    pts, cells, _ = remove_orphaned_vertices(pts, cells)
+    sd = None
+    if domain_array_name in cd:
+        sd = np.asarray(cd[domain_array_name]).astype(np.int32)
+    return Mesh.from_arrays(pts, cells), sd
+
+
 def remove_mesh_subdomain(mesh: Mesh, subdomains, lower_thr, upper_thr):
     """Keep only cells whose subdomain id is within [lower, upper]
     (reference l.581-599, VTK threshold round-trip)."""
