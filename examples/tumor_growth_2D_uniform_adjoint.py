@@ -59,7 +59,7 @@ import jax.numpy as jnp
 theta = sim.make_theta({**sim.params.as_dict(), **update(v_true)})
 iv = sim.params.create_initial_value_function()
 simulate = jax.jit(sim.build_simulate_fn(5, 1.0))
-u_traj, c_traj, ok = simulate(theta, jnp.asarray(iv[0]), jnp.asarray(iv[1]))
+u_traj, c_traj, ok, _ = simulate(theta, jnp.asarray(iv[0]), jnp.asarray(iv[1]))
 assert bool(np.asarray(ok).all())
 rng = np.random.default_rng(0)
 c_target = np.asarray(c_traj[-1])
