@@ -81,7 +81,7 @@ class TumorGrowth(Simulation):
         theta = {
             "D": self._per_cell(params["diffusion"]),
             "rho": self._per_cell(params["proliferation"]),
-            "coupling": jnp.asarray(params["coupling"], dtype=self.dtype),
+            "coupling": self._per_cell(params["coupling"]),
             "mu": forms.compute_mu(E, nu),
             "lam": forms.compute_lambda(E, nu),
             "dt": jnp.asarray(float(params["sim_time_step"]), dtype=self.dtype),

@@ -166,11 +166,11 @@ class ShardedP1Kernels:
             else jnp.broadcast_to(jnp.asarray(body_force, self.dtype), (dim,))
         )
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, mu, lam,
-                  u, c, coupling, bf):
+        def local(cells, vol, grads, sort_idx, sorted_ids, mu, lam, coupling,
+                  u, c, bf):
             cells, vol, grads = cells[0], vol[0], grads[0]
             sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
-            mu, lam = mu[0], lam[0]
+            mu, lam, coupling = mu[0], lam[0], coupling[0]
             ce = jnp.take(c, cells, axis=0)
             c_int = ce.mean(axis=0) * vol
             ue = jnp.stack(
@@ -188,8 +188,9 @@ class ShardedP1Kernels:
 
         return self._run(
             local,
-            cell_args=(self._cellwise(mu), self._cellwise(lam)),
-            rep_args=(u, c, jnp.asarray(coupling, self.dtype), bf),
+            cell_args=(self._cellwise(mu), self._cellwise(lam),
+                       self._cellwise(coupling)),
+            rep_args=(u, c, bf),
         )
 
     def rd_mass_stiffness_diag(self, D, rho, dt):

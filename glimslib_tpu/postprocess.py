@@ -177,9 +177,20 @@ class PostProcessTumorGrowth(PostProcess):
             rho = self.cell_to_node(rho_c)
         return np.asarray(forms.compute_growth_logistic(c, rho, 1.0))
 
+    def _coupling_per_cell(self):
+        k = getattr(self.params, "coupling", 0.0)
+        from glimslib_tpu.core.params import TissueCoefficient
+
+        if isinstance(k, TissueCoefficient):
+            return np.asarray(k.per_cell())
+        if isinstance(k, dict):
+            sd = self.params._subdomains
+            return sd.tissue_value_array(k)[sd.cell_labels]
+        return np.asarray(k, dtype=np.float64)
+
     def get_growth_induced_strain(self, recording_step):
         c = self.get_concentration(recording_step)
-        k = float(np.asarray(getattr(self.params, "coupling", 0.0)))
+        k = self._coupling_per_cell()
         cbar = np.asarray(self.kernels.cell_average(jnp.asarray(c)))
         return np.asarray(forms.compute_growth_induced_strain(cbar, k, self.dim))
 
@@ -195,7 +206,7 @@ class PostProcessTumorGrowth(PostProcess):
         c = self.get_concentration(recording_step)
         u = jnp.asarray(self.get_displacement(recording_step))
         grad_u = self.kernels.cell_vector_gradient(u)
-        k = float(np.asarray(getattr(self.params, "coupling", 0.0)))
+        k = jnp.asarray(self._coupling_per_cell())
         cbar = self.kernels.cell_average(jnp.asarray(c))
         return np.asarray(
             forms.compute_concentration_deformed(cbar, grad_u, k, self.dim)
