@@ -215,9 +215,14 @@ class Results:
         if fields is None:
             return
         names = self._functionspace.get_subspace_names()
+        n_pts = self.mesh.n_nodes
         point_data = {}
         for sid, arr in fields.items():
-            point_data[names.get(sid, f"subspace_{sid}")] = np.asarray(arr)
+            arr = np.asarray(arr)
+            if arr.ndim == 1 and len(arr) > n_pts:
+                # P2 field: vertex dofs lead and equal the vertex values
+                arr = arr[:n_pts]
+            point_data[names.get(sid, f"subspace_{sid}")] = arr
         if method == "vtk":
             from glimslib_tpu.utils import vtk_utils
 
