@@ -83,9 +83,20 @@ class Image:
 # ---------------------------------------------------------------------------
 
 
+def _check_lfs_pointer(raw: bytes, path):
+    if raw.startswith(b"version https://git-lfs"):
+        raise ValueError(
+            f"{path} is a git-LFS pointer stub, not image data (the "
+            "reference repo's bundled data is stored in LFS and was not "
+            "fetched); generate synthetic stand-ins with "
+            "glimslib_tpu.utils.synthetic instead"
+        )
+
+
 def read_mha(path) -> Image:
     with open(path, "rb") as f:
         raw = f.read()
+    _check_lfs_pointer(raw, path)
     # header = text lines until 'ElementDataFile'
     header = {}
     pos = 0
