@@ -16,7 +16,7 @@ matching FEniCS ``project(..., solver='cg', preconditioner='amg')``
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Union
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import itertools
 import logging
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -28,8 +28,7 @@ from __future__ import annotations
 import logging
 import os
 from abc import ABC, abstractmethod
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from glimslib_tpu.models.tumor_growth_brain import TumorGrowthBrain as _BrainP1
 from glimslib_tpu.models.tumor_growth_quad import TumorGrowth as _QuadMixin
-from glimslib_tpu.ops.p2 import P2Kernels
 
 
 class TumorGrowthBrain(_BrainP1):

@@ -14,9 +14,6 @@ cases use them; displacement BCs are unaffected).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-import numpy as np
-
 from glimslib_tpu.models.tumor_growth import TumorGrowth as _TumorGrowthP1
 from glimslib_tpu.ops.p2 import P2Kernels
 

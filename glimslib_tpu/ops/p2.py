@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from glimslib_tpu.core.elements import P2Element, simplex_quadrature
-from glimslib_tpu.ops.assembly import ScatterPlan, make_scatter_plan, scatter
+from glimslib_tpu.ops.assembly import make_scatter_plan, scatter
 
 
 class P2Kernels:

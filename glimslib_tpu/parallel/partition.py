@@ -21,8 +21,6 @@ import dataclasses
 
 import numpy as np
 
-from glimslib_tpu.core.elements import p1_mass_matrix, p1_cubic_tensor
-
 
 def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
     """Z-order curve sort indices for spatial locality."""

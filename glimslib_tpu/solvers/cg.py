@@ -14,8 +14,6 @@ and the vector displacement block (n_nodes, d) with no reshaping.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

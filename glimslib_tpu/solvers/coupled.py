@@ -36,7 +36,6 @@ uses O(1) memory per step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

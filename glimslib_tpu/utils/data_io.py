@@ -32,7 +32,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from glimslib_tpu.core.mesh import Mesh, rectangle_mesh
-from glimslib_tpu.utils.image_io import Image, read_image, write_image
+from glimslib_tpu.utils.image_io import Image, read_image
 
 logger = logging.getLogger(__name__)
 

@@ -15,7 +15,6 @@ from typing import Dict
 
 import numpy as np
 
-from glimslib_tpu.utils import data_io as dio
 from glimslib_tpu.utils import file_utils as fu
 from glimslib_tpu.utils.image_io import read_image
 from glimslib_tpu.workflow.image_based_optimization import (

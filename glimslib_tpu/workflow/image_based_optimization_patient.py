@@ -16,8 +16,6 @@ binaries.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
-
 import numpy as np
 
 from glimslib_tpu.utils import data_io as dio
