@@ -68,7 +68,11 @@ class ImageBasedOptimizationBase:
     }
 
     def __init__(self, base_dir, path_to_labels_atlas=None,
-                 path_to_image_atlas=None, image_z_slice=None, plot=False):
+                 path_to_image_atlas=None, image_z_slice=None, plot=False,
+                 model="linear"):
+        # model: 'linear' (P1 concentration) or 'quad' (P2, the model the
+        # reference workflow drives: image_based_optimization.py:26)
+        self.model = model
         self.base_dir = base_dir
         self.data = PathIO(base_dir)
         self._setup_paths()
@@ -106,6 +110,7 @@ class ImageBasedOptimizationBase:
         self.logger.addHandler(fh)
 
     _STATE_ATTRS = [
+        "model",
         "path_to_image_atlas_orig", "path_to_labels_atlas_orig",
         "image_z_slice", "dim", "conc_threshold_levels", "measures",
         "params_forward", "params_inverse", "model_params_optimized",
@@ -239,7 +244,14 @@ class ImageBasedOptimizationBase:
                       output_dir=None):
         """Build a TumorGrowthBrain on the prepared domain with a Gaussian
         seed IV (reference l.377-422)."""
-        sim = TumorGrowthBrain(self.mesh)
+        if self.model == "quad":
+            from glimslib_tpu.models.tumor_growth_brain_quad import (
+                TumorGrowthBrain as BrainQuad,
+            )
+
+            sim = BrainQuad(self.mesh)
+        else:
+            sim = TumorGrowthBrain(self.mesh)
         sim.setup_global_parameters(
             label_function=self.labelfunction,
             domain_names=TISSUE_MAP,

@@ -128,3 +128,26 @@ def test_path_io_pattern():
         p2 = pio.create_params_path(processing="02_inverse_simulation",
                                     datasource="optimization")
         assert p2.endswith("02_inverse_simulation/optimization_parameterset.pkl")
+
+
+def test_quad_model_workflow(atlas_file, tmp_path):
+    """Workflow with the P2 (quad) brain model — the model the reference's
+    optimization pipeline drives (image_based_optimization.py:26)."""
+    base = str(tmp_path / "wfq")
+    wf = ImageBasedOptimizationAtlas(
+        base_dir=base, path_to_labels_atlas=atlas_file, image_z_slice=4,
+        model="quad",
+    )
+    wf.prepare_domain()
+    seed = wf.mesh.points.mean(axis=0)
+    wf.init_forward_problem(seed, MODEL_PARAMS_VARYING, MODEL_PARAMS_FIXED,
+                            SIM_PARAMS)
+    sim = wf.sims["forward"]
+    assert sim.CONCENTRATION_DEGREE == 2
+    wf.run_forward_sim(plot=False, save_method=None)
+    wf.create_target_fields()
+    start = dict(MODEL_PARAMS_VARYING, D_WM=0.05)
+    wf.init_inverse_problem(seed, start, SIM_PARAMS, optimization_type=2)
+    opt = wf.run_inverse_problem(opt_params={"maxiter": 3, "tol": 1e-3,
+                                             "gtol": 1e-3})
+    assert np.isfinite(list(opt.values())).all()
