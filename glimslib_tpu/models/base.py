@@ -231,23 +231,53 @@ class Simulation(ABC):
 
         ops = StencilOperators(self.mesh, dtype=self.dtype)
 
+        # Operator planes that depend only on theta are precomputed once per
+        # simulate() (augment_theta) and carried in the theta pytree, so the
+        # scan body never rebuilds them.  The IFT adjoint gives them
+        # exactly-zero cotangents (the residuals never read them), so
+        # differentiation through simulate() stays correct.
         def rd_jacobian(theta, c):
-            W = ops.build_rd_jacobian(
-                c, theta["D"], theta["rho"], theta["dt"], conc_max=1.0
-            )
+            if "_Wrd_const" in theta:
+                W = theta["_Wrd_const"] + ops.build_rd_wc(
+                    c, theta["rho"], theta["dt"], conc_max=1.0
+                )
+            else:
+                W = ops.build_rd_jacobian(
+                    c, theta["D"], theta["rho"], theta["dt"], conc_max=1.0
+                )
             return lambda v: ops.apply_scalar(W, v)
 
         def el_operator(theta):
-            W = ops.build_elasticity(theta["mu"], theta["lam"])
+            W = theta.get("_Wel")
+            if W is None:
+                W = ops.build_elasticity(theta["mu"], theta["lam"])
             return lambda u: ops.apply_vector(W, u)
 
         def el_precond(theta):
-            W = ops.build_elasticity(theta["mu"], theta["lam"])
-            Binv = ops.block_jacobi_inverse(W)
+            Binv = theta.get("_Binv")
+            if Binv is None:
+                Binv = ops.block_jacobi_inverse(
+                    ops.build_elasticity(theta["mu"], theta["lam"])
+                )
             return lambda r: ops.apply_block_jacobi(Binv, r)
 
         self._stencil_ops = ops
         return rd_jacobian, el_operator, el_precond
+
+    def _augment_theta_with_operators(self, theta):
+        """Precompute theta-only stencil planes (elasticity operator, its
+        block-Jacobi inverse, the constant part of the rd Jacobian)."""
+        ops = getattr(self, "_stencil_ops", None)
+        if ops is None:
+            return theta
+        Wel = ops.build_elasticity(theta["mu"], theta["lam"])
+        theta = dict(theta)
+        theta["_Wel"] = Wel
+        theta["_Binv"] = ops.block_jacobi_inverse(Wel)
+        theta["_Wrd_const"] = ops.build_rd_jacobian_const(
+            theta["D"], theta["rho"], theta["dt"]
+        )
+        return theta
 
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()
@@ -275,6 +305,8 @@ class Simulation(ABC):
         step = self._build_step()
 
         def simulate(theta, u0, c0):
+            theta = self._augment_theta_with_operators(theta)
+
             def body(carry, i):
                 u_prev, c_prev, ok = carry
                 t = (i + 1.0) * dt

@@ -134,6 +134,37 @@ class StencilOperators:
         entries = m + (dt * D) * k - (dt * rho) * (m - 2.0 * wc / conc_max)
         return self.plan.accumulate(entries)
 
+    def build_rd_jacobian_const(self, D, rho, dt):
+        """Theta-only part of J_cc: M + dt D K − dt rho M — built once per
+        simulate() and hoisted out of the time/Newton loops."""
+        npe = self.npe
+        v = self.vol
+        g = self.grads_T
+        D = jnp.asarray(D, self.dtype)
+        rho = jnp.asarray(rho, self.dtype)
+        eye = jnp.eye(npe, dtype=self.dtype)
+        m = self._m0 * (1.0 + eye)[:, :, None] * v[None, None, :]
+        gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)
+        k = gg * v[None, None, :]
+        entries = m + (dt * D) * k - (dt * rho) * m
+        return self.plan.accumulate(entries)
+
+    def build_rd_wc(self, c, rho, dt, conc_max=1.0):
+        """State-dependent part of J_cc: (2 dt rho / c_max) W(c) — rebuilt
+        per Newton iteration."""
+        ce = jnp.take(c, self.cells_T, axis=0)
+        S = jnp.sum(ce, axis=0)
+        rho = jnp.asarray(rho, self.dtype)
+        eye = jnp.eye(self.npe, dtype=self.dtype)
+        wc = self._t0 * (
+            S[None, None, :]
+            + ce[:, None, :]
+            + ce[None, :, :]
+            + eye[:, :, None] * (S[None, None, :] + 2.0 * ce[:, None, :])
+        ) * self.vol[None, None, :]
+        entries = (2.0 * dt * rho / conc_max) * wc
+        return self.plan.accumulate(entries)
+
     def build_elasticity(self, mu, lam):
         """W (n_off, d, d, n) for the elasticity stiffness operator."""
         d = self.dim
