@@ -277,7 +277,28 @@ class Simulation(ABC):
         theta["_Wrd_const"] = ops.build_rd_jacobian_const(
             theta["D"], theta["rho"], theta["dt"]
         )
+        if self._stencil_el_residual_ok():
+            theta["_Cuc"] = ops.build_coupling_uc(
+                theta["mu"], theta["lam"], theta["coupling"]
+            )
+            # constant body load: ∫ b·v = lumped_mass ⊗ bf
+            lumped = self.kernels.lumped_mass()
+            theta["_el_load"] = lumped[:, None] * jnp.broadcast_to(
+                theta["body_force"], (self.mesh.dim,)
+            )[None, :]
         return theta
+
+    def _stencil_el_residual_ok(self):
+        """The fully-streaming elasticity residual applies when nothing
+        time-dependent or facet-integral enters the u-equation."""
+        if getattr(self, "_body_force_t", None) is not None:
+            return False
+        bcs = getattr(self, "bcs", None)
+        if bcs is not None:
+            for bc in bcs.von_neumann_bcs.values():
+                if bc["subspace_id"] == self.SUBSPACE_DISPLACEMENT:
+                    return False
+        return True
 
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()

@@ -156,6 +156,14 @@ class TumorGrowth(Simulation):
         return r
 
     def el_residual(self, u, c, theta, t):
+        if "_Cuc" in theta:
+            # fully-streaming form (lattice meshes): W_el u + C_uc c - load
+            ops = self._stencil_ops
+            return (
+                ops.apply_vector(theta["_Wel"], u)
+                + ops.apply_coupling(theta["_Cuc"], c)
+                - theta["_el_load"]
+            )
         bf = theta["body_force"]
         if self._body_force_t is not None:
             bf = bf + jnp.asarray(

@@ -197,6 +197,45 @@ class StencilOperators:
             acc = acc + W[o] * shifted
         return acc
 
+    def build_coupling_uc(self, mu, lam, coupling):
+        """Planes C (n_off, d, n) of the (linear) growth-strain coupling in
+        the elasticity residual: contribution of nodal c_j to R_u[i, a] is
+        -k (2mu + d lam) vol g_i[a] / (d+1) per shared cell — so the whole
+        elasticity residual becomes streaming:
+        R_u = W_el*u + C_uc*c - load."""
+        d = self.dim
+        g = self.grads_T  # (npe, d, nc)
+        kfac = (
+            jnp.asarray(coupling, self.dtype)
+            * (2.0 * jnp.asarray(mu, self.dtype) + d * jnp.asarray(lam, self.dtype))
+            * self.vol
+            / (d + 1)
+        )  # (nc,) or scalar*vol
+        planes = []
+        npe = self.npe
+        for a in range(d):
+            # entries (i, j, nc): value independent of j
+            ent = jnp.broadcast_to(
+                (-kfac * g[:, a, :])[:, None, :],
+                (npe, npe, g.shape[-1]),
+            )
+            planes.append(self.plan.accumulate(ent))  # (n_off, n)
+        return jnp.stack(planes, axis=1)  # (n_off, d, n)
+
+    def apply_coupling(self, C, cvec):
+        """(C c)[i, a] = sum_o C[o, a, i] c[i + off_o]; returns (n, d)."""
+        d = self.dim
+        cols = []
+        shifted = {}
+        for off in self.offsets:
+            shifted[off] = cvec if off == 0 else jnp.roll(cvec, -off)
+        for a in range(d):
+            acc = jnp.zeros_like(cvec)
+            for o, off in enumerate(self.offsets):
+                acc = acc + C[o, a] * shifted[off]
+            cols.append(acc)
+        return jnp.stack(cols, axis=1)
+
     def block_jacobi_inverse(self, W, mask=None):
         """Per-node (d, d) diagonal-block inverse from the zero-offset plane
         — a much stronger preconditioner than scalar Jacobi for
