@@ -12,6 +12,7 @@ for s in \
     examples/tumor_growth_2D_subdomains.py \
     examples/comparison_2D_atlas.py \
     examples/tumor_growth_3D_atlas_sharded.py \
+    examples/brain_2D_atlas_reduced_domain_adjoint.py \
     examples/atlas_optimization_workflow.py; do
   echo "== $s"
   python $s
