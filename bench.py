@@ -27,11 +27,10 @@ N_STEPS = 5
 CACHE = os.path.join(ROOT, "BASELINE_CACHE.json")
 
 
-def build_problem(dtype=None, sharded=False):
+def build_problem(dtype=None):
     import jax
     import jax.numpy as jnp
 
-    sys.modules.pop("__graft_entry__", None)
     from __graft_entry__ import _brain_sim
     from glimslib_tpu.solvers.coupled import StepConfig
 

@@ -70,7 +70,6 @@ class Simulation(ABC):
         )
         self._define_model_params()
         self.kernels = P1Kernels(mesh, dtype=self.dtype)
-        self._simulate_jit = None
         # solver tolerances scale with the working precision: f32 cannot
         # reach the f64 defaults and would spin every loop to maxiter
         if self.dtype == jnp.float64:
@@ -95,7 +94,6 @@ class Simulation(ABC):
             device_mesh = make_device_mesh(n_devices)
         self.device_mesh = device_mesh
         self.kernels = ShardedP1Kernels(self.mesh, device_mesh, dtype=self.dtype)
-        self._simulate_jit = None
         return device_mesh
 
     # -- abstract model surface (reference simulation_base.py:111-158) ------
@@ -164,7 +162,6 @@ class Simulation(ABC):
         self.bcs = BoundaryConditions(self.functionspace, self.subdomains)
         self.bcs.setup_dirichlet_boundary_conditions(dirichlet_bcs)
         self.bcs.setup_von_neumann_boundary_conditions(von_neumann_bcs)
-        self._simulate_jit = None
 
     # -- model params (reference simulation_base.py:200-217) ----------------
 
@@ -177,7 +174,6 @@ class Simulation(ABC):
         self.params.define_required_params(self.required_params)
         self.params.define_optional_params(self.optional_params)
         self.params.init_parameters(kwargs)
-        self._simulate_jit = None
 
     # -- the jitted time loop ----------------------------------------------
 
