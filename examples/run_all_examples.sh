@@ -11,6 +11,7 @@ for s in \
     "examples/tumor_growth_2D_uniform_adjoint.py --n 12 --noise 0.02 --params 2" \
     examples/tumor_growth_2D_subdomains.py \
     examples/comparison_2D_atlas.py \
+    examples/comparison_3D_atlas.py \
     examples/tumor_growth_3D_atlas_sharded.py \
     examples/brain_2D_atlas_reduced_domain_adjoint.py \
     examples/atlas_optimization_workflow.py; do
