@@ -39,9 +39,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from glimslib_tpu.core.subdomains import _eval_predicate
-from glimslib_tpu.ops.assembly import FacetKernels
 
 logger = logging.getLogger(__name__)
+
+
+def _facet_kernels(*args, **kw):
+    # deferred: core <-> ops would otherwise be a circular import when the
+    # ops package is imported first
+    from glimslib_tpu.ops.assembly import FacetKernels
+
+    return FacetKernels(*args, **kw)
 
 
 class DirichletBC:
@@ -194,7 +201,7 @@ class BoundaryConditions:
             if fidx is None:
                 logger.warning("von Neumann BC '%s' incomplete -- skipping", bc_name)
                 continue
-            kern = FacetKernels(m, fidx, n_nodes)
+            kern = _facet_kernels(m, fidx, n_nodes)
             self.von_neumann_bcs[bc_name] = {
                 "bc_value": bc_dict["bc_value"],
                 "kernels": kern,
@@ -213,7 +220,7 @@ class BoundaryConditions:
         for name, bc in self.von_neumann_bcs.items():
             if bc["subspace_id"] != subspace_id:
                 continue
-            kern: FacetKernels = bc["kernels"]
+            kern = bc["kernels"]
             val = bc["bc_value"]
             ss = self._functionspace.subspaces.get_subspace(subspace_id)
             if callable(val):
