@@ -75,9 +75,22 @@ class StencilPlan:
         self.sort_idx = jnp.asarray(order)
         self.sorted_ids = jnp.asarray(sid_T[order].astype(np.int32))
         self.n_segments = self.n_nodes * self.n_off
+        self._lattice = self._build_lattice_meta(mesh)
 
     def accumulate(self, entries_T):
-        """entries (npe_i, npe_j, nc) -> W (n_off, n_nodes)."""
+        """entries (npe_i, npe_j, nc) -> W (n_off, n_nodes).
+
+        Lattice fast path: cells of a Kuhn lattice group into a handful of
+        *types* (fixed node-offset signatures).  For a fixed (type, i, j)
+        every cell writes to (anchor + sig_i, slot) — a regular shifted
+        block of the node lattice — so accumulation is a static-slice add
+        (pure streaming) instead of a 3M-entry scatter (~6x faster on v5e).
+        Falls back to the sorted segment-sum for non-lattice meshes."""
+        if self._lattice is not None:
+            return self._accumulate_lattice(entries_T)
+        return self._accumulate_general(entries_T)
+
+    def _accumulate_general(self, entries_T):
         flat = entries_T.reshape(-1)
         s = jnp.take(flat, self.sort_idx, axis=0)
         w = jax.ops.segment_sum(
@@ -85,6 +98,96 @@ class StencilPlan:
             indices_are_sorted=True,
         )
         return w.reshape(self.n_nodes, self.n_off).T  # (n_off, n)
+
+    # -- lattice fast path ----------------------------------------------------
+
+    def _build_lattice_meta(self, mesh):
+        """Group cells by node-offset signature; precompute, per group and
+        local pair (i, j): the offset slot and the corner shift of node i.
+        Requires descending strides (C-order node lattice) and per-group
+        cells sorted by anchor (both hold for box_mesh / mesh_image_labels);
+        returns None when any condition fails."""
+        shape = mesh.lattice_shape
+        strides = mesh.lattice_strides
+        if shape is None:
+            return None
+        if list(strides) != sorted(strides, reverse=True):
+            return None
+        cells = mesh.cells.astype(np.int64)
+        anchors = cells.min(axis=1)
+        sigs = cells - anchors[:, None]  # (nc, npe) lattice offsets
+        uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
+        if len(uniq) > 8:
+            return None
+        vox_shape = tuple(s - 1 for s in shape)
+        nvox = int(np.prod(vox_shape))
+        groups = []
+        for g in range(len(uniq)):
+            idx = np.where(inv == g)[0]
+            if len(idx) > 1 and not (np.diff(idx) == 1).all():
+                return None  # group cells not contiguous in cell order
+            if len(idx) > 1 and not (np.diff(anchors[idx]) > 0).all():
+                return None  # cells not anchor-sorted within the group
+            # anchor -> voxel flat index (C-order over vox_shape)
+            rem = anchors[idx].copy()
+            vox_multi = []
+            for s in strides:
+                vox_multi.append(rem // s)
+                rem = rem % s
+            vox_flat = np.ravel_multi_index(vox_multi, vox_shape)
+            dense = len(idx) == nvox and (vox_flat == np.arange(nvox)).all()
+            sig = uniq[g]
+            # corner shift of each local node (multi-index in {0,1}^d)
+            corners = []
+            for i in range(sigs.shape[1]):
+                rem = int(sig[i])
+                c = []
+                for s in strides:
+                    c.append(rem // s)
+                    rem = rem % s
+                if any(x not in (0, 1) for x in c):
+                    return None
+                corners.append(tuple(c))
+            slots = np.searchsorted(
+                self.offsets, sig[None, :] - sig[:, None]
+            )  # (i, j)
+            groups.append({
+                "cell_idx": idx, "dense": dense,
+                "vox_flat": None if dense else vox_flat.astype(np.int32),
+                "corners": corners, "slots": slots,
+            })
+        return {
+            "shape": tuple(shape), "vox_shape": vox_shape, "nvox": nvox,
+            "groups": groups,
+        }
+
+    def _accumulate_lattice(self, entries_T):
+        lat = self._lattice
+        shape = lat["shape"]
+        vox_shape = lat["vox_shape"]
+        d = len(shape)
+        W = jnp.zeros((self.n_off,) + shape, dtype=entries_T.dtype)
+        npe = entries_T.shape[0]
+        for g in lat["groups"]:
+            idx = g["cell_idx"]
+            ent_g = entries_T[:, :, idx[0] : idx[0] + len(idx)]
+            for i in range(npe):
+                ci = g["corners"][i]
+                for j in range(npe):
+                    slot = int(g["slots"][i][j])
+                    vals = ent_g[i, j]
+                    if g["dense"]:
+                        block = vals.reshape(vox_shape)
+                    else:
+                        flat = jnp.zeros(lat["nvox"], dtype=vals.dtype)
+                        block = flat.at[jnp.asarray(g["vox_flat"])].set(
+                            vals
+                        ).reshape(vox_shape)
+                    sl = (slot,) + tuple(
+                        slice(ci[a], ci[a] + vox_shape[a]) for a in range(d)
+                    )
+                    W = W.at[sl].add(block)
+        return W.reshape(self.n_off, self.n_nodes)
 
 
 class StencilOperators:
