@@ -273,6 +273,16 @@ class Simulation(ABC):
         theta["_Wrd_const"] = ops.build_rd_jacobian_const(
             theta["D"], theta["rho"], theta["dt"]
         )
+        if self._stencil_rd_residual_ok():
+            theta["_Mst"] = ops.build_mass_planes()
+            # constant source load: dt * sum_e s_e vol_e/(d+1) per node
+            src = theta["source"]
+            load = self.kernels.rd_residual(
+                jnp.zeros(self.mesh.n_nodes, self.dtype),
+                jnp.zeros(self.mesh.n_nodes, self.dtype),
+                theta["D"], theta["rho"], theta["dt"], source=src,
+            )
+            theta["_rd_load"] = -load  # residual had -dt s v
         if self._stencil_el_residual_ok():
             theta["_Cuc"] = ops.build_coupling_uc(
                 theta["mu"], theta["lam"], theta["coupling"]
@@ -283,6 +293,18 @@ class Simulation(ABC):
                 theta["body_force"], (self.mesh.dim,)
             )[None, :]
         return theta
+
+    def _stencil_rd_residual_ok(self):
+        """Streaming rd residual applies when the concentration equation has
+        no facet integrals and no time-dependent source."""
+        if getattr(self, "_source_t", None) is not None:
+            return False
+        bcs = getattr(self, "bcs", None)
+        if bcs is not None:
+            for bc in bcs.von_neumann_bcs.values():
+                if bc["subspace_id"] == self.SUBSPACE_CONCENTRATION:
+                    return False
+        return True
 
     def _stencil_el_residual_ok(self):
         """The fully-streaming elasticity residual applies when nothing

@@ -136,6 +136,16 @@ class TumorGrowth(Simulation):
         return out
 
     def rd_residual(self, c, c_prev, theta, t):
+        if "_Mst" in theta:
+            # fully-streaming form: R = W_const c + wc(c) c / 2 - M c_prev - load
+            ops = self._stencil_ops
+            wc = ops.build_rd_wc(c, theta["rho"], theta["dt"], conc_max=1.0)
+            return (
+                ops.apply_scalar(theta["_Wrd_const"], c)
+                + 0.5 * ops.apply_scalar(wc, c)
+                - ops.apply_scalar(theta["_Mst"], c_prev)
+                - theta["_rd_load"]
+            )
         source = theta["source"]
         if self._source_t is not None:
             source = source + jnp.asarray(

@@ -252,6 +252,13 @@ class StencilOperators:
         entries = m + (dt * D) * k - (dt * rho) * m
         return self.plan.accumulate(entries)
 
+    def build_mass_planes(self):
+        """Consistent-mass planes M (n_off, n) — theta-independent."""
+        npe = self.npe
+        eye = jnp.eye(npe, dtype=self.dtype)
+        m = self._m0 * (1.0 + eye)[:, :, None] * self.vol[None, None, :]
+        return self.plan.accumulate(m)
+
     def build_rd_wc(self, c, rho, dt, conc_max=1.0):
         """State-dependent part of J_cc: (2 dt rho / c_max) W(c) — rebuilt
         per Newton iteration."""

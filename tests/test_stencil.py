@@ -136,3 +136,41 @@ def test_stencil_adjoint_gradient(tmp_path):
         fd = (ip.objective(vp) - ip.objective(vm)) / (2 * eps)
         rel = abs(fd - g[i]) / max(abs(fd), 1e-12)
         assert rel < 1e-5, (i, fd, g[i], rel)
+
+
+def test_streaming_rd_residual_with_static_source(tmp_path):
+    """Static source through the fully-streaming rd residual == scipy."""
+    import scipy.sparse.linalg as spla
+
+    from glimslib_tpu.models.tumor_growth import TumorGrowth
+    from reference_fem import ReferenceFEM
+
+    mesh = rectangle_mesh((-2, -2), (2, 2), 8, 8)
+
+    class B:
+        def inside(self, x, ob):
+            return ob
+
+    sim = TumorGrowth(mesh)
+    sim.setup_global_parameters(
+        boundaries={"all": B()},
+        dirichlet_bcs={"c": {"bc_value": np.zeros(2), "named_boundary": "all",
+                             "subspace_id": 0}},
+    )
+    sim.setup_model_parameters(
+        iv_expression={0: np.zeros(2), 1: 0.0},
+        diffusion=0.1, coupling=0.0, proliferation=0.0, E=0.001, poisson=0.4,
+        source_term=0.3, sim_time=2, sim_time_step=1,
+    )
+    sim.run(save_method=None, plot=False, output_dir=str(tmp_path))
+    assert hasattr(sim, "_stencil_ops")
+
+    ref = ReferenceFEM(mesh)
+    M = ref.mass_matrix()
+    K = ref.stiffness_matrix(0.1)
+    load = ref.load_vector(1.0)
+    c = np.zeros(mesh.n_nodes)
+    for _ in range(2):
+        c = spla.spsolve((M + K).tocsc(), M @ c + 0.3 * load)
+    rel = np.linalg.norm(sim.solution[1] - c) / np.linalg.norm(c)
+    assert rel < 1e-9, rel
