@@ -58,11 +58,15 @@ def plot_vector_field(mesh, values, path=None, title=None, mode="quiver",
     if mode == "quiver":
         pts = mesh.points
         stride = max(1, len(pts) // (n_grid * n_grid))
-        ax.quiver(
-            pts[::stride, 0], pts[::stride, 1],
-            vals[::stride, 0], vals[::stride, 1],
-            color=color, alpha=alpha,
-        )
+        if np.abs(vals).max() > 0:
+            ax.quiver(
+                pts[::stride, 0], pts[::stride, 1],
+                vals[::stride, 0], vals[::stride, 1],
+                color=color, alpha=alpha,
+            )
+        else:  # all-zero field: quiver autoscale divides by zero
+            ax.plot(pts[::stride, 0], pts[::stride, 1], ".", ms=1,
+                    color=color, alpha=alpha * 0.5)
     else:  # streamlines on an interpolation grid
         X, Y, (U, V) = helpers.interpolate_to_grid(mesh, vals, n_grid, n_grid)
         ax.streamplot(X, Y, np.nan_to_num(U), np.nan_to_num(V), color=color)
