@@ -229,9 +229,12 @@ class Simulation(ABC):
 
         # Operator planes that depend only on theta are precomputed once per
         # simulate() (augment_theta) and carried in the theta pytree, so the
-        # scan body never rebuilds them.  The IFT adjoint gives them
-        # exactly-zero cotangents (the residuals never read them), so
-        # differentiation through simulate() stays correct.
+        # scan body never rebuilds them.  The streaming residuals DO read
+        # these planes (_Wrd_const/_Mst/_Wel/_Cuc/...), so the IFT adjoint
+        # produces nonzero plane cotangents; gradients stay correct because
+        # _augment_theta_with_operators runs *inside* simulate() and is
+        # itself differentiated, routing plane cotangents back to
+        # D/rho/mu/lam/coupling.  Do NOT stop_gradient the planes.
         def rd_jacobian(theta, c):
             if "_Wrd_const" in theta:
                 W = theta["_Wrd_const"] + ops.build_rd_wc(

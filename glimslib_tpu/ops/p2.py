@@ -130,9 +130,13 @@ class P2Kernels:
         D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (self.n_cells,))
         wdet = self._wdet()
         mdiag = jnp.sum(wdet[:, :, None] * self.vals[None] ** 2, axis=1)
-        # metric G[e,a,b] = sum_d A[e,a,d] A[e,b,d]
-        G = jnp.einsum("cad,cbd->cab", self.A, self.A)
-        g2 = jnp.einsum("qia,qib,cab->cqi", self.rgrads, self.rgrads, G)
+        # physical basis gradient pg[c,q,i,d] = sum_a rgrads[q,i,a] A[c,a,d];
+        # broadcast mul+reduce (never einsum on TPU — bf16 MXU dots, CLAUDE.md)
+        pg = jnp.sum(
+            self.rgrads[None, :, :, :, None] * self.A[:, None, None, :, :],
+            axis=3,
+        )  # (nc, nq, npe, d)
+        g2 = jnp.sum(pg * pg, axis=-1)  # (nc, nq, npe)
         kdiag = jnp.sum(wdet[:, :, None] * g2, axis=1)
         contrib = mdiag + (dt * D)[:, None] * kdiag
         return self._accumulate(contrib)

@@ -23,34 +23,39 @@ class OptimizationProgress:
 
     def __init__(self, param_names: List[str]):
         self.param_names = list(param_names)
-        self.eval_records = []  # (J, *params)
-        self.grad_records = []  # (J, *dJ)
-        self.datetime_records = []  # (J, datetime)
+        self.eval_records = []  # (eval#, J, *params)
+        self.grad_records = []  # (eval#, J, *dJ)
+        self.datetime_records = []  # (eval#, J, datetime)
 
     def record_eval(self, j, params):
-        self.eval_records.append((float(j), *np.asarray(params, float)))
-        self.datetime_records.append((float(j), datetime.now()))
+        # merge key is the eval counter, NOT J: duplicate J values
+        # (line-search re-evaluations, plateaus) would cartesian-product
+        # rows when merged on J (advisor finding r1)
+        seq = len(self.eval_records)
+        self.eval_records.append((seq, float(j), *np.asarray(params, float)))
+        self.datetime_records.append((seq, float(j), datetime.now()))
 
     def record_grad(self, j, dj):
-        self.grad_records.append((float(j), *np.asarray(dj, float)))
+        seq = max(len(self.eval_records) - 1, 0)
+        self.grad_records.append((seq, float(j), *np.asarray(dj, float)))
 
     def to_dataframe(self):
         """reference create_opt_progress_df (l.627-644)."""
         import pandas as pd
 
         params_df = pd.DataFrame(
-            self.eval_records, columns=["J", *self.param_names]
+            self.eval_records, columns=["eval", "J", *self.param_names]
         )
         datetime_df = pd.DataFrame(
-            self.datetime_records, columns=["J", "datetime"]
-        )
-        df = pd.merge(params_df, datetime_df, on="J", how="outer")
+            self.datetime_records, columns=["eval", "J", "datetime"]
+        ).drop(columns=["J"])
+        df = pd.merge(params_df, datetime_df, on="eval", how="outer")
         if self.grad_records:
             dj_df = pd.DataFrame(
                 self.grad_records,
-                columns=["J", *[f"dJd{p}" for p in self.param_names]],
-            )
-            df = pd.merge(df, dj_df, on="J", how="outer")
+                columns=["eval", "J", *[f"dJd{p}" for p in self.param_names]],
+            ).drop(columns=["J"])
+            df = pd.merge(df, dj_df, on="eval", how="outer")
         return df
 
     def save(self, path_pkl=None, path_xls=None):
@@ -70,8 +75,8 @@ class OptimizationProgress:
     def total_time_seconds(self):
         if len(self.datetime_records) < 2:
             return 0.0
-        t0 = self.datetime_records[0][1]
-        t1 = self.datetime_records[-1][1]
+        t0 = self.datetime_records[0][2]
+        t1 = self.datetime_records[-1][2]
         return (t1 - t0).total_seconds()
 
     @property

@@ -89,23 +89,27 @@ def partition_cells(mesh, n_parts: int, method: str = "graph") -> CellPartition:
 
     cell_perm = np.zeros((n_parts, per), dtype=np.int64)
     mask = np.zeros((n_parts, per))
+    # First fill every block with up to `per` of its own cells, collecting
+    # overflow; only THEN spill overflow into the least-filled blocks.  Doing
+    # the spill during the fill loop could place cells into a later block's
+    # slots that the fill pass would clobber (advisor finding r1).
+    overflow_all = []
     for p in range(n_parts):
         mine = np.where(part_ids == p)[0]
-        # spill overflow cells (graph partitions can exceed the target by a
-        # few) into the last block's padding-free budget round-robin
         take = mine[:per]
         cell_perm[p, : len(take)] = take
         mask[p, : len(take)] = 1.0
-        if len(mine) > per:
-            # reassign overflow to the globally least-filled blocks
-            overflow = mine[per:]
-            fills = mask.sum(axis=1)
-            for c in overflow:
-                q = int(np.argmin(fills))
-                slot = int(fills[q])
-                cell_perm[q, slot] = c
-                mask[q, slot] = 1.0
-                fills[q] += 1.0
+        overflow_all.extend(mine[per:])
+    if overflow_all:
+        fills = mask.sum(axis=1)
+        for c in overflow_all:
+            q = int(np.argmin(fills))
+            slot = int(fills[q])
+            assert slot < per, "partition overflow exceeds total padded capacity"
+            cell_perm[q, slot] = c
+            mask[q, slot] = 1.0
+            fills[q] += 1.0
+    assert int(mask.sum()) == nc, "partitioner dropped or duplicated cells"
     cells = mesh.cells[cell_perm]
     vol = mesh.cell_volumes[cell_perm] * mask
     grads = mesh.cell_grads[cell_perm]

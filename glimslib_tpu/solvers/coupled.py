@@ -167,16 +167,24 @@ def make_step(
             Au = _op_masked(el_operator(theta), mask_u)
         else:
             Au = _masked_operator(resid_u, u0, mask_u)
+        rhs_u = jnp.where(mask_u, 0.0, -ru)
         du, info_u = pcg(
             Au,
-            jnp.where(mask_u, 0.0, -ru),
+            rhs_u,
             M=Mu,
             rtol=cfg.cg_rtol,
             atol=cfg.cg_atol,
             maxiter=cfg.cg_maxiter,
         )
         u = u0 + du
-        conv_u = jnp.isfinite(info_u["resnorm"])
+        # A stalled elasticity CG (maxiter without reaching tolerance) must
+        # freeze the trajectory like a failed Newton does — mirror pcg's own
+        # stopping test, plus finiteness (advisor finding r1).
+        rhs_norm = jnp.sqrt(jnp.sum(rhs_u * rhs_u))
+        tol_u = jnp.maximum(cfg.cg_rtol * rhs_norm, cfg.cg_atol)
+        conv_u = jnp.logical_and(
+            jnp.isfinite(info_u["resnorm"]), info_u["resnorm"] <= tol_u
+        )
         return u, c, jnp.logical_and(conv_c, conv_u), k
 
     @jax.custom_vjp
