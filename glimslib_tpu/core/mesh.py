@@ -254,6 +254,56 @@ EDGE_VERTICES = {
 # -- constructors (reference: fenics.RectangleMesh / BoxMesh) ----------------
 
 
+def pad_mesh_nodes(mesh: Mesh, multiple: int) -> Mesh:
+    """Pad the node array to a multiple of ``multiple`` with unused nodes.
+
+    JAX/GSPMD shards an array axis only when its size divides the device
+    count, so multi-chip node-sharded execution (parallel/gspmd.py — the
+    replacement for the reference's ``mpirun -np N`` domain decomposition,
+    README.md:142-183) needs ``n_nodes % n_devices == 0``.  The padding
+    nodes are referenced by no cell; the simulation machinery already treats
+    unused nodes as zero-Dirichlet dofs (Simulation._unused_node_mask) and
+    the stencil planes carry exact zeros there, so results on the real nodes
+    are bit-identical.  Cells, volumes, gradients, facets and the lattice
+    tagging are shared with the original mesh (no recomputation).
+    """
+    n = mesh.n_nodes
+    multiple = int(multiple)
+    if n % multiple == 0:
+        return mesh
+    lattice_shape = mesh.lattice_shape
+    lattice_strides = mesh.lattice_strides
+    if lattice_shape is not None and n == int(np.prod(lattice_shape)):
+        # Lattice mesh: pad the slowest-varying lattice axis (largest
+        # stride) to a multiple of the device count.  Appending slabs there
+        # keeps every existing node index unchanged AND keeps
+        # n_nodes == prod(lattice_shape), so the stencil plane construction
+        # (lattice-shaped slice adds, ops/stencil.py) reshapes cleanly to
+        # the sharded flat node axis — GSPMD shards the construction too,
+        # not just the final planes.
+        a = int(np.argmax(lattice_strides))
+        slab = n // lattice_shape[a]  # == lattice_strides[a] for dense packs
+        new_len = -(-lattice_shape[a] // multiple) * multiple
+        pad = (new_len - lattice_shape[a]) * slab
+        lattice_shape = tuple(
+            new_len if i == a else s for i, s in enumerate(lattice_shape)
+        )
+    else:
+        pad = (-n) % multiple
+        lattice_shape = None
+        lattice_strides = None
+    # place pad nodes at the last real point (coordinates are only read for
+    # IV/BC evaluation, where pad values are discarded by the unused mask)
+    extra = np.broadcast_to(mesh.points[-1], (pad, mesh.dim))
+    points = np.concatenate([mesh.points, extra], axis=0)
+    return dataclasses.replace(
+        mesh,
+        points=np.ascontiguousarray(points),
+        lattice_shape=lattice_shape,
+        lattice_strides=lattice_strides,
+    )
+
+
 def interval_mesh(a: float, b: float, n: int) -> Mesh:
     pts = np.linspace(a, b, n + 1)[:, None]
     cells = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
@@ -279,8 +329,10 @@ def rectangle_mesh(
     def vid(ix, iy):
         return iy * (nx + 1) + ix
 
+    # lattice declared slowest-axis-first (y, x) so strides are descending —
+    # the convention the stencil lattice meta requires (vid = iy*(nx+1)+ix)
     lattice = (
-        None if diagonal == "crossed" else (((nx + 1), (ny + 1)), (1, nx + 1))
+        None if diagonal == "crossed" else (((ny + 1), (nx + 1)), (nx + 1, 1))
     )
     cells = []
     for iy in range(ny):
@@ -345,8 +397,12 @@ def box_mesh(p0, p1, nx: int, ny: int, nz: int) -> Mesh:
     v101 = v000 + sx + 1
     v011 = v000 + sy + 1
     v111 = v000 + sx + sy + 1
-    # Kuhn subdivision into 6 tets around the main diagonal v000-v111
-    tets = np.concatenate(
+    # Kuhn subdivision into 6 tets around the main diagonal v000-v111.
+    # Voxel-major cell order (the 6 tets of a voxel are adjacent): a
+    # contiguous slice of the cell axis then corresponds to a slab of the
+    # node lattice, which lets GSPMD shard the stencil-plane construction
+    # over devices (ops/stencil.py strided-group accumulation).
+    tets = np.stack(
         [
             np.stack([v000, v100, v110, v111], axis=1),
             np.stack([v000, v110, v010, v111], axis=1),
@@ -355,8 +411,8 @@ def box_mesh(p0, p1, nx: int, ny: int, nz: int) -> Mesh:
             np.stack([v000, v001, v101, v111], axis=1),
             np.stack([v000, v101, v100, v111], axis=1),
         ],
-        axis=0,
-    )
+        axis=1,
+    ).reshape(-1, 4)
     return Mesh.from_arrays(
         pts, tets,
         lattice_shape=(nx + 1, ny + 1, nz + 1),

@@ -82,19 +82,78 @@ class Simulation(ABC):
 
     # -- multi-chip (replaces mpirun, reference README.md:142-183) ----------
 
-    def use_sharding(self, device_mesh=None, n_devices=None):
-        """Switch assembly to shard-mapped kernels over a device mesh.
+    # set by use_sharding(mode='nodes'): GSPMD node-sharded execution
+    _gspmd_mesh = None
+    _gspmd_axis = None
+    sharding_mode = None
 
-        The analogue of running the reference under ``mpirun -np N``: the
-        same model/API, with cells partitioned across devices and node
-        contributions combined by XLA collectives over ICI."""
+    def use_sharding(self, device_mesh=None, n_devices=None, mode="auto"):
+        """Distribute the simulation over a device mesh.
+
+        The analogue of running the reference under ``mpirun -np N``
+        (README.md:142-183).  Two modes:
+
+        - ``'nodes'`` (default on lattice meshes): node vectors themselves
+          are sharded over the device axis and the offset-stencil fast path
+          stays active — XLA/GSPMD lowers each ``jnp.roll`` to collective
+          permutes of just the halo slices, so per-device memory and
+          bandwidth scale as N/devices.  Requires
+          ``n_nodes % n_devices == 0``; pad with
+          :func:`glimslib_tpu.core.mesh.pad_mesh_nodes` first.
+        - ``'cells'``: shard-mapped element kernels with cells partitioned
+          across devices and node contributions psum'd (replicated node
+          vectors) — works on any unstructured mesh.
+        """
         from glimslib_tpu.parallel.shard import ShardedP1Kernels, make_device_mesh
 
         if device_mesh is None:
             device_mesh = make_device_mesh(n_devices)
+        n_dev = device_mesh.devices.size
+        if mode == "auto":
+            lattice_ok = (
+                self.mesh.lattice_strides is not None
+                and getattr(self, "CONCENTRATION_DEGREE", 1) == 1
+                and self.operator_mode != "matrix-free"
+                and self.mesh.n_nodes % n_dev == 0
+            )
+            mode = "nodes" if lattice_ok else "cells"
         self.device_mesh = device_mesh
-        self.kernels = ShardedP1Kernels(self.mesh, device_mesh, dtype=self.dtype)
+        if mode == "nodes":
+            if self.mesh.n_nodes % n_dev:
+                raise ValueError(
+                    f"n_nodes={self.mesh.n_nodes} not divisible by {n_dev} "
+                    "devices; pad the mesh with core.mesh.pad_mesh_nodes "
+                    "before constructing the model"
+                )
+            self._gspmd_mesh = device_mesh
+            self._gspmd_axis = device_mesh.axis_names[0]
+        elif mode == "cells":
+            self.kernels = ShardedP1Kernels(self.mesh, device_mesh, dtype=self.dtype)
+        else:
+            raise ValueError(f"unknown sharding mode {mode!r}")
+        self.sharding_mode = mode
         return device_mesh
+
+    def _shard_nodes(self, arr, node_axis):
+        """Pin the node axis of ``arr`` to the gspmd device axis (no-op when
+        node sharding is inactive)."""
+        if self._gspmd_mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * arr.ndim
+        spec[node_axis] = self._gspmd_axis
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(self._gspmd_mesh, P(*spec))
+        )
+
+    def _node_shardings(self):
+        """(sharding_u, sharding_c) for device_put / jit in_shardings."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh_u = NamedSharding(self._gspmd_mesh, P(self._gspmd_axis, None))
+        sh_c = NamedSharding(self._gspmd_mesh, P(self._gspmd_axis))
+        return sh_u, sh_c
 
     # -- abstract model surface (reference simulation_base.py:111-158) ------
 
@@ -225,7 +284,12 @@ class Simulation(ABC):
             return None, None, None  # sharded runs keep the shard-mapped path
         from glimslib_tpu.ops.stencil import StencilOperators
 
-        ops = StencilOperators(self.mesh, dtype=self.dtype)
+        shard_ctx = (
+            (self._gspmd_mesh, self._gspmd_axis)
+            if self._gspmd_mesh is not None
+            else None
+        )
+        ops = StencilOperators(self.mesh, dtype=self.dtype, shard_ctx=shard_ctx)
 
         # Operator planes that depend only on theta are precomputed once per
         # simulate() (augment_theta) and carried in the theta pytree, so the
@@ -271,13 +335,16 @@ class Simulation(ABC):
             return theta
         Wel = ops.build_elasticity(theta["mu"], theta["lam"])
         theta = dict(theta)
-        theta["_Wel"] = Wel
-        theta["_Binv"] = ops.block_jacobi_inverse(Wel)
-        theta["_Wrd_const"] = ops.build_rd_jacobian_const(
-            theta["D"], theta["rho"], theta["dt"]
+        # node axis is last in every plane; pin it to the device axis under
+        # node sharding so the planes (and their construction) partition
+        # instead of replicating
+        theta["_Wel"] = self._shard_nodes(Wel, -1)
+        theta["_Binv"] = self._shard_nodes(ops.block_jacobi_inverse(Wel), -1)
+        theta["_Wrd_const"] = self._shard_nodes(
+            ops.build_rd_jacobian_const(theta["D"], theta["rho"], theta["dt"]), -1
         )
         if self._stencil_rd_residual_ok():
-            theta["_Mst"] = ops.build_mass_planes()
+            theta["_Mst"] = self._shard_nodes(ops.build_mass_planes(), -1)
             # constant source load: dt * sum_e s_e vol_e/(d+1) per node
             src = theta["source"]
             load = self.kernels.rd_residual(
@@ -285,16 +352,22 @@ class Simulation(ABC):
                 jnp.zeros(self.mesh.n_nodes, self.dtype),
                 theta["D"], theta["rho"], theta["dt"], source=src,
             )
-            theta["_rd_load"] = -load  # residual had -dt s v
+            theta["_rd_load"] = self._shard_nodes(-load, 0)  # residual had -dt s v
         if self._stencil_el_residual_ok():
-            theta["_Cuc"] = ops.build_coupling_uc(
-                theta["mu"], theta["lam"], theta["coupling"]
+            theta["_Cuc"] = self._shard_nodes(
+                ops.build_coupling_uc(
+                    theta["mu"], theta["lam"], theta["coupling"]
+                ),
+                -1,
             )
             # constant body load: ∫ b·v = lumped_mass ⊗ bf
             lumped = self.kernels.lumped_mass()
-            theta["_el_load"] = lumped[:, None] * jnp.broadcast_to(
-                theta["body_force"], (self.mesh.dim,)
-            )[None, :]
+            theta["_el_load"] = self._shard_nodes(
+                lumped[:, None] * jnp.broadcast_to(
+                    theta["body_force"], (self.mesh.dim,)
+                )[None, :],
+                0,
+            )
         return theta
 
     def _stencil_rd_residual_ok(self):
@@ -354,8 +427,8 @@ class Simulation(ABC):
                 t = (i + 1.0) * dt
                 u, c, conv, n_newton = step(theta, u_prev, c_prev, t)
                 ok_new = jnp.logical_and(ok, conv)
-                u_out = jnp.where(ok_new, u, u_prev)
-                c_out = jnp.where(ok_new, c, c_prev)
+                u_out = self._shard_nodes(jnp.where(ok_new, u, u_prev), 0)
+                c_out = self._shard_nodes(jnp.where(ok_new, c, c_prev), 0)
                 return (u_out, c_out, ok_new), (u_out, c_out, ok_new, n_newton)
 
             init = (u0, c0, jnp.asarray(True))
@@ -404,7 +477,16 @@ class Simulation(ABC):
         sim_time = float(self.params.sim_time)
         n_steps = int(round(sim_time / dt + 1e-9))
 
-        simulate = jax.jit(self.build_simulate_fn(n_steps, dt))
+        if self._gspmd_mesh is not None:
+            sh_u, sh_c = self._node_shardings()
+            simulate = jax.jit(
+                self.build_simulate_fn(n_steps, dt),
+                in_shardings=(None, sh_u, sh_c),
+            )
+            u0 = jax.device_put(u0, sh_u)
+            c0 = jax.device_put(c0, sh_c)
+        else:
+            simulate = jax.jit(self.build_simulate_fn(n_steps, dt))
         u_traj, c_traj, ok_traj, newton_iters = simulate(theta, u0, c0)
         self.solver_info = {"newton_iters": np.asarray(newton_iters)}
         self.logger.info("    - newton iterations per step: %s",

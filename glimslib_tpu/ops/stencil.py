@@ -50,9 +50,17 @@ import numpy as np
 class StencilPlan:
     """Host-precomputed entry->(<node>, <offset slot>) maps for a lattice mesh."""
 
-    def __init__(self, mesh):
+    def __init__(self, mesh, shard_ctx=None):
         assert mesh.lattice_strides is not None, "mesh is not lattice-tagged"
         self.mesh = mesh
+        # (device_mesh, axis_name) for GSPMD node-sharded plane construction:
+        # with voxel-major cell order, the per-cell arrays are padded with
+        # zero-volume phantom cells so that voxel slabs align exactly with
+        # node-lattice slabs — every block placement is then a pad on
+        # unsharded axes plus a one-halo-row roll on the sharded axis, and
+        # GSPMD partitions the entire entry computation (parallel/gspmd.py)
+        self.shard_ctx = shard_ctx
+        self.cell_pad = 0
         self.dim = mesh.dim
         self.npe = mesh.dim + 1
         self.n_nodes = mesh.n_nodes
@@ -76,6 +84,39 @@ class StencilPlan:
         self.sorted_ids = jnp.asarray(sid_T[order].astype(np.int32))
         self.n_segments = self.n_nodes * self.n_off
         self._lattice = self._build_lattice_meta(mesh)
+        if shard_ctx is not None:
+            self._enable_sharded_construction(shard_ctx)
+
+    def _enable_sharded_construction(self, shard_ctx):
+        """When every lattice group is voxel-major-strided and prefix-dense,
+        pad each group's voxel rows to the (device-divisible) node-lattice
+        leading extent: blocks then reshape directly to
+        ``(shape[0],) + vox_shape[1:]`` with no resharding, and x-placement
+        becomes a wrap-safe roll (trailing rows are phantom zeros)."""
+        lat = self._lattice
+        if lat is None:
+            return
+        dmesh, _ = shard_ctx
+        n_dev = dmesh.devices.size
+        shape = lat["shape"]
+        if shape[0] % n_dev:
+            return
+        rest = int(np.prod(lat["vox_shape"][1:])) if len(shape) > 1 else 1
+        groups = lat["groups"]
+        if not all(
+            g["strided"] is not None and (g["dense"] or g["prefix"])
+            for g in groups
+        ):
+            return
+        ng = groups[0]["strided"][1]
+        rows_pad = shape[0]
+        n_cells_pad = ng * rows_pad * rest
+        if n_cells_pad < ng * len(groups[0]["cell_idx"]):
+            return
+        self.cell_pad = n_cells_pad - self.mesh.n_cells
+        for g in groups:
+            g["block_shape"] = (rows_pad,) + lat["vox_shape"][1:]
+            g["dense"] = True  # vals (incl. phantom zeros) reshape directly
 
     def accumulate(self, entries_T):
         """entries (npe_i, npe_j, nc) -> W (n_off, n_nodes).
@@ -114,18 +155,32 @@ class StencilPlan:
         if list(strides) != sorted(strides, reverse=True):
             return None
         cells = mesh.cells.astype(np.int64)
+        nc = len(cells)
         anchors = cells.min(axis=1)
         sigs = cells - anchors[:, None]  # (nc, npe) lattice offsets
         uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
-        if len(uniq) > 8:
+        n_groups = len(uniq)
+        if n_groups > 8:
             return None
         vox_shape = tuple(s - 1 for s in shape)
         nvox = int(np.prod(vox_shape))
+        rest = int(np.prod(vox_shape[1:])) if len(vox_shape) > 1 else 1
         groups = []
-        for g in range(len(uniq)):
+        for g in range(n_groups):
             idx = np.where(inv == g)[0]
-            if len(idx) > 1 and not (np.diff(idx) == 1).all():
-                return None  # group cells not contiguous in cell order
+            # cell order must be contiguous (legacy type-major meshes) or
+            # perfectly interleaved voxel-major (box_mesh/image mesher) —
+            # interleaved order aligns cell shards with node-lattice slabs,
+            # enabling GSPMD-sharded plane construction
+            contiguous = len(idx) <= 1 or (np.diff(idx) == 1).all()
+            strided = (
+                nc % n_groups == 0
+                and len(idx) == nc // n_groups
+                and (idx == np.arange(idx[0] % n_groups, nc, n_groups)).all()
+                and n_groups > 1
+            )
+            if not (contiguous or strided):
+                return None
             if len(idx) > 1 and not (np.diff(anchors[idx]) > 0).all():
                 return None  # cells not anchor-sorted within the group
             # anchor -> voxel flat index (C-order over vox_shape)
@@ -135,7 +190,17 @@ class StencilPlan:
                 vox_multi.append(rem // s)
                 rem = rem % s
             vox_flat = np.ravel_multi_index(vox_multi, vox_shape)
-            dense = len(idx) == nvox and (vox_flat == np.arange(nvox)).all()
+            # 'dense': cells fill the voxel lattice in order; a padded mesh
+            # (pad_mesh_nodes) fills a contiguous C-order *prefix* — still
+            # streaming (reshape to the real leading extent), no scatter
+            prefix = (vox_flat == np.arange(len(idx))).all()
+            dense = len(idx) == nvox and prefix
+            block_shape = vox_shape
+            if prefix and not dense:
+                if len(idx) % rest:
+                    prefix = False
+                else:
+                    block_shape = (len(idx) // rest,) + vox_shape[1:]
             sig = uniq[g]
             # corner shift of each local node (multi-index in {0,1}^d)
             corners = []
@@ -152,8 +217,10 @@ class StencilPlan:
                 self.offsets, sig[None, :] - sig[:, None]
             )  # (i, j)
             groups.append({
-                "cell_idx": idx, "dense": dense,
-                "vox_flat": None if dense else vox_flat.astype(np.int32),
+                "cell_idx": idx, "dense": dense, "prefix": prefix,
+                "strided": (int(idx[0] % n_groups), n_groups) if strided else None,
+                "block_shape": block_shape,
+                "vox_flat": None if (dense or prefix) else vox_flat.astype(np.int32),
                 "corners": corners, "slots": slots,
             })
         return {
@@ -161,43 +228,107 @@ class StencilPlan:
             "groups": groups,
         }
 
+    def _shard_lattice_plane(self, plane):
+        """Pin the slowest lattice axis (axis 0 of a node-lattice-shaped
+        block) to the device axis when a sharding context is active and
+        divides (strides are descending for lattice meta, so axis 0 has the
+        largest stride = the flat node axis's leading factor)."""
+        if self.shard_ctx is None:
+            return plane
+        dmesh, axis = self.shard_ctx
+        if plane.shape[0] % dmesh.devices.size:
+            return plane
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [axis] + [None] * (plane.ndim - 1)
+        return jax.lax.with_sharding_constraint(
+            plane, NamedSharding(dmesh, P(*spec))
+        )
+
     def _accumulate_lattice(self, entries_T):
+        """Pure pad+add+stack accumulation: every (group, i, j) contribution
+        is a voxel block placed into the node lattice by a static ``jnp.pad``
+        and summed per offset slot.  No scatter and no slice-updates — the
+        formulation GSPMD partitions cleanly when the node lattice is sharded
+        over devices (slice-update accumulation forced replicated element
+        entries; advisor/VERDICT r1 multichip memory criterion)."""
         lat = self._lattice
         shape = lat["shape"]
-        vox_shape = lat["vox_shape"]
         d = len(shape)
-        W = jnp.zeros((self.n_off,) + shape, dtype=entries_T.dtype)
         npe = entries_T.shape[0]
+        dt = entries_T.dtype
+        slot_blocks = {}
         for g in lat["groups"]:
             idx = g["cell_idx"]
-            ent_g = entries_T[:, :, idx[0] : idx[0] + len(idx)]
+            if g["strided"] is not None:
+                # voxel-major interleaving: group g = every n_groups-th cell;
+                # the divisible reshape keeps the cell axis shardable
+                off, ng = g["strided"]
+                ent_g = entries_T.reshape(npe, npe, -1, ng)[:, :, :, off]
+            else:
+                ent_g = entries_T[:, :, idx[0] : idx[0] + len(idx)]
+            bshape = g["block_shape"]
             for i in range(npe):
                 ci = g["corners"][i]
                 for j in range(npe):
                     slot = int(g["slots"][i][j])
                     vals = ent_g[i, j]
-                    if g["dense"]:
-                        block = vals.reshape(vox_shape)
+                    if g["dense"] or g["prefix"]:
+                        block = vals.reshape(bshape)
                     else:
                         flat = jnp.zeros(lat["nvox"], dtype=vals.dtype)
                         block = flat.at[jnp.asarray(g["vox_flat"])].set(
                             vals
-                        ).reshape(vox_shape)
-                    sl = (slot,) + tuple(
-                        slice(ci[a], ci[a] + vox_shape[a]) for a in range(d)
-                    )
-                    W = W.at[sl].add(block)
-        return W.reshape(self.n_off, self.n_nodes)
+                        ).reshape(bshape)
+                    # voxel block -> node-lattice block: static pad per axis;
+                    # axes already at full lattice extent (sharded-construction
+                    # cell padding) place by a wrap-safe roll instead — the
+                    # trailing rows are phantom zeros, and a roll on the
+                    # sharded axis is a one-halo-row collective permute
+                    pads = []
+                    rolls = []
+                    for a in range(d):
+                        if bshape[a] == shape[a]:
+                            pads.append((0, 0))
+                            if ci[a]:
+                                rolls.append((a, ci[a]))
+                        else:
+                            pads.append((ci[a], shape[a] - bshape[a] - ci[a]))
+                    placed = jnp.pad(block, tuple(pads))
+                    for a, shift in rolls:
+                        placed = jnp.roll(placed, shift, axis=a)
+                    placed = self._shard_lattice_plane(placed)
+                    slot_blocks.setdefault(slot, []).append(placed)
+        zero = None
+        planes = []
+        for s in range(self.n_off):
+            blocks = slot_blocks.get(s)
+            if blocks is None:
+                if zero is None:
+                    zero = jnp.zeros(shape, dtype=dt)
+                planes.append(zero)
+            else:
+                acc = blocks[0]
+                for b in blocks[1:]:
+                    acc = acc + b
+                planes.append(acc)
+        W = jnp.stack(planes, axis=0).reshape(self.n_off, -1)
+        n_lat = W.shape[1]
+        if n_lat != self.n_nodes:
+            # padded mesh (core/mesh.py pad_mesh_nodes): trailing unused
+            # nodes carry exactly-zero stencil weights
+            W = jnp.pad(W, ((0, 0), (0, self.n_nodes - n_lat)))
+        return W
 
 
 class StencilOperators:
     """Builds and applies the stencil-form Jacobians of the coupled system."""
 
-    def __init__(self, mesh, dtype=None):
+    def __init__(self, mesh, dtype=None, shard_ctx=None):
         if dtype is None:
             dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
         self.dtype = dtype
-        self.plan = StencilPlan(mesh)
+        self.plan = StencilPlan(mesh, shard_ctx=shard_ctx)
         self.dim = mesh.dim
         self.npe = mesh.dim + 1
         self.n_nodes = mesh.n_nodes
@@ -207,9 +338,45 @@ class StencilOperators:
             np.ascontiguousarray(np.moveaxis(mesh.cell_grads, 0, -1)),
             dtype=dtype,
         )  # (npe, d, nc)
+        if self.plan.cell_pad:
+            # phantom zero-volume cells: voxel-major order means appending
+            # them extends the voxel rows past the real lattice, aligning
+            # cell shards exactly with node-lattice slabs (all entry formulas
+            # scale with cell volume, so phantom contributions are exact 0)
+            p = self.plan.cell_pad
+            self.vol = jnp.pad(self.vol, (0, p))
+            self.cells_T = jnp.pad(self.cells_T, ((0, 0), (0, p)))
+            self.grads_T = jnp.pad(self.grads_T, ((0, 0), (0, 0), (0, p)))
+        if shard_ctx is not None:
+            # cell-axis-sharded per-cell constants: the (npe, npe, nc) entry
+            # computations then partition over devices instead of being
+            # materialized replicated (cell order of lattice groups is
+            # anchor-sorted, so cell shards align with node slabs)
+            dmesh, axis_name = shard_ctx
+            n_dev = dmesh.devices.size
+            if self.vol.shape[-1] % n_dev == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                def put_last(a):
+                    spec = [None] * a.ndim
+                    spec[-1] = axis_name
+                    return jax.device_put(a, NamedSharding(dmesh, P(*spec)))
+
+                self.vol = put_last(self.vol)
+                self.cells_T = put_last(self.cells_T)
+                self.grads_T = put_last(self.grads_T)
         self._m0 = 1.0 / ((self.dim + 1) * (self.dim + 2))
         self._t0 = math.factorial(self.dim) / math.factorial(self.dim + 3)
         self.offsets = [int(o) for o in self.plan.offsets]
+
+
+    def _cell_coeff(self, x):
+        """Coefficient as scalar or per-cell array, zero-padded to the
+        phantom-cell count when sharded construction padded the cell axis."""
+        x = jnp.asarray(x, self.dtype)
+        if x.ndim == 1 and x.shape[0] != self.vol.shape[-1]:
+            x = jnp.pad(x, (0, self.vol.shape[-1] - x.shape[0]))
+        return x
 
     # -- builders ------------------------------------------------------------
 
@@ -220,8 +387,8 @@ class StencilOperators:
         g = self.grads_T
         ce = jnp.take(c, self.cells_T, axis=0)  # (npe, nc)
         S = jnp.sum(ce, axis=0)
-        D = jnp.asarray(D, self.dtype)
-        rho = jnp.asarray(rho, self.dtype)
+        D = self._cell_coeff(D)
+        rho = self._cell_coeff(rho)
 
         eye = jnp.eye(npe, dtype=self.dtype)
         # (i, j, nc) entries
@@ -243,8 +410,8 @@ class StencilOperators:
         npe = self.npe
         v = self.vol
         g = self.grads_T
-        D = jnp.asarray(D, self.dtype)
-        rho = jnp.asarray(rho, self.dtype)
+        D = self._cell_coeff(D)
+        rho = self._cell_coeff(rho)
         eye = jnp.eye(npe, dtype=self.dtype)
         m = self._m0 * (1.0 + eye)[:, :, None] * v[None, None, :]
         gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)
@@ -264,7 +431,7 @@ class StencilOperators:
         per Newton iteration."""
         ce = jnp.take(c, self.cells_T, axis=0)
         S = jnp.sum(ce, axis=0)
-        rho = jnp.asarray(rho, self.dtype)
+        rho = self._cell_coeff(rho)
         eye = jnp.eye(self.npe, dtype=self.dtype)
         wc = self._t0 * (
             S[None, None, :]
@@ -280,8 +447,8 @@ class StencilOperators:
         d = self.dim
         v = self.vol
         g = self.grads_T  # (npe, d, nc)
-        mu = jnp.asarray(mu, self.dtype)
-        lam = jnp.asarray(lam, self.dtype)
+        mu = self._cell_coeff(mu)
+        lam = self._cell_coeff(lam)
         gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)  # (i, j, nc)
         planes = []
         for a in range(d):
@@ -316,8 +483,8 @@ class StencilOperators:
         d = self.dim
         g = self.grads_T  # (npe, d, nc)
         kfac = (
-            jnp.asarray(coupling, self.dtype)
-            * (2.0 * jnp.asarray(mu, self.dtype) + d * jnp.asarray(lam, self.dtype))
+            self._cell_coeff(coupling)
+            * (2.0 * self._cell_coeff(mu) + d * self._cell_coeff(lam))
             * self.vol
             / (d + 1)
         )  # (nc,) or scalar*vol

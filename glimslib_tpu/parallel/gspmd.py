@@ -9,18 +9,26 @@ stencil application is `jnp.roll` + multiply-add, and GSPMD lowers a roll
 of a sharded array to collective-permutes of just the halo slices — the
 hand-written MPI ghost exchange of the reference (SURVEY.md §2.3), derived
 automatically ("pick a mesh, annotate shardings, let XLA insert
-collectives").
+collectives").  Per-device memory and bandwidth scale as N/devices: the
+operator planes, the CG vectors, and the scan carry are all pinned to the
+device axis (Simulation._shard_nodes), so nothing node-sized is replicated
+in the hot loop.
 
-Constraint: the node count must divide evenly by the device count (GSPMD
-sharding of dim 0); lattice meshes can always be generated to satisfy this.
+Non-divisible node counts: GSPMD shards an axis only when its size divides
+the device count; pad the mesh with
+:func:`glimslib_tpu.core.mesh.pad_mesh_nodes` before constructing the model
+(padding nodes are unused → auto-masked zero-Dirichlet dofs, results on
+real nodes are identical).
+
+This module is the functional entry; the object API is
+``sim.use_sharding(device_mesh, mode='nodes')`` followed by a normal
+``sim.run()``.
 """
 
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh as DeviceMesh
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def shard_simulate(sim, n_steps, dt, device_mesh: DeviceMesh):
@@ -28,7 +36,7 @@ def shard_simulate(sim, n_steps, dt, device_mesh: DeviceMesh):
 
     Returns (simulate_fn, prepare) where ``prepare(theta, u0, c0)`` places
     the arrays with the right shardings.  Requires stencil mode (lattice
-    mesh) and ``n_nodes %% n_devices == 0``.
+    mesh) and ``n_nodes % n_devices == 0`` (see pad_mesh_nodes).
     """
     n_dev = device_mesh.devices.size
     if sim.mesh.lattice_strides is None:
@@ -36,11 +44,13 @@ def shard_simulate(sim, n_steps, dt, device_mesh: DeviceMesh):
     if sim.mesh.n_nodes % n_dev:
         raise ValueError(
             f"n_nodes={sim.mesh.n_nodes} not divisible by {n_dev} devices; "
-            "choose a lattice resolution with n_nodes % n_devices == 0"
+            "pad the mesh with glimslib_tpu.core.mesh.pad_mesh_nodes(mesh, "
+            f"{n_dev}) before constructing the model"
         )
-    axis = device_mesh.axis_names[0]
-    sh_u = NamedSharding(device_mesh, P(axis, None))
-    sh_c = NamedSharding(device_mesh, P(axis))
+    sim.use_sharding(device_mesh, mode="nodes")
+    sh_u, sh_c = sim._node_shardings()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     rep = NamedSharding(device_mesh, P())
 
     simulate = sim.build_simulate_fn(n_steps, dt)

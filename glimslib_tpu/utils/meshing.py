@@ -59,6 +59,10 @@ def mesh_image_labels(image: Image, downsample: int = 1, full_lattice=False):
         raise ValueError("labelmap has no foreground voxels")
     iz, iy, ix = fg[:, 0], fg[:, 1], fg[:, 2]
     v000 = ix * sx_ + iy * sy_ + iz
+    # anchor-sorted voxels (argwhere yields z-major order; the stencil
+    # lattice meta requires anchors ascending in node-index order)
+    order = np.argsort(v000, kind="stable")
+    iz, iy, ix, v000 = iz[order], iy[order], ix[order], v000[order]
     v100 = v000 + sx_
     v010 = v000 + sy_
     v001 = v000 + 1
@@ -66,7 +70,8 @@ def mesh_image_labels(image: Image, downsample: int = 1, full_lattice=False):
     v101 = v000 + sx_ + 1
     v011 = v000 + sy_ + 1
     v111 = v000 + sx_ + sy_ + 1
-    tets = np.concatenate(
+    # voxel-major (6 tets per voxel adjacent) — see core/mesh.py box_mesh
+    tets = np.stack(
         [
             np.stack([v000, v100, v110, v111], axis=1),
             np.stack([v000, v110, v010, v111], axis=1),
@@ -75,9 +80,9 @@ def mesh_image_labels(image: Image, downsample: int = 1, full_lattice=False):
             np.stack([v000, v001, v101, v111], axis=1),
             np.stack([v000, v101, v100, v111], axis=1),
         ],
-        axis=0,
-    )
-    labels = np.tile(data[iz, iy, ix], 6).astype(np.int32)
+        axis=1,
+    ).reshape(-1, 4)
+    labels = np.repeat(data[iz, iy, ix], 6).astype(np.int32)
 
     if full_lattice:
         # all lattice corner coordinates, index = ix*sx_ + iy*sy_ + iz
