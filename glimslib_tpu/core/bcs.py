@@ -191,13 +191,31 @@ class BoundaryConditions:
                 except KeyError:
                     fidx = None
             elif "subdomain_boundary" in bc_dict:
-                # exterior-facet measure only, as in the reference (l.740-767)
-                logger.error(
-                    "von Neumann BC '%s': subdomain (interior) boundaries are "
-                    "not supported (exterior 'ds' only, as in the reference)",
-                    bc_name,
-                )
-                continue
+                # Reference semantics (helper_classes.py:819-825): the BC is
+                # bound to the exterior-facet 'ds' measure restricted to the
+                # inter-tissue marker.  Inter-tissue facets are interior by
+                # construction, so the integral runs over the (empty)
+                # intersection with the exterior boundary and contributes
+                # zero — the limitation the reference documents at
+                # helper_classes.py:747-756.
+                name = bc_dict["subdomain_boundary"]
+                if name not in self._subdomains.subdomain_boundaries_id_dict:
+                    fidx = None
+                else:
+                    fidx = self._subdomains.subdomain_boundary_exterior_facets(
+                        name
+                    )
+                    if len(fidx) == 0:
+                        logger.warning(
+                            "von Neumann BC '%s': subdomain boundary '%s' "
+                            "marks interior facets only; the exterior 'ds' "
+                            "measure integrates over none of them, so this "
+                            "BC contributes zero (reference "
+                            "helper_classes.py:747-767 semantics). Use "
+                            "tissue-wise coefficients (D=0) to isolate "
+                            "subdomains instead.",
+                            bc_name, name,
+                        )
             if fidx is None:
                 logger.warning("von Neumann BC '%s' incomplete -- skipping", bc_name)
                 continue

@@ -217,6 +217,29 @@ class SubDomains:
         """Unique nodes on an inter-tissue boundary (for Dirichlet BCs)."""
         return np.unique(self.subdomain_boundary_facet_nodes(name_or_id).ravel())
 
+    def subdomain_boundary_exterior_facets(self, name_or_id) -> np.ndarray:
+        """ds(i) with exterior-facet semantics: indices into the mesh's
+        exterior boundary facet arrays whose facet carries the inter-tissue
+        marker ``name_or_id``.
+
+        Matches the reference, where ``subdomain_boundary`` von Neumann BCs
+        integrate against ``self.ds(boundary_id)`` (helper_classes.py:819-825)
+        — an *exterior*-facet measure — while the marker function only ever
+        marks facets shared by two cells of different tissues, i.e. interior
+        facets (helper_classes.py:478-490).  The intersection is therefore
+        empty by construction and the BC contributes zero, exactly as in the
+        reference (documented there at helper_classes.py:747-756).  The
+        matching is still done generically (by facet node sets) so any future
+        marking rule that does reach the exterior is handled correctly.
+        """
+        marked = self.subdomain_boundary_facet_nodes(name_or_id)
+        if len(marked) == 0:
+            return np.empty(0, dtype=np.int64)
+        ext = np.sort(np.asarray(self.mesh.boundary_facet_nodes), axis=1)
+        mk = {tuple(row) for row in np.sort(marked, axis=1)}
+        hits = [i for i, row in enumerate(ext) if tuple(row) in mk]
+        return np.asarray(hits, dtype=np.int64)
+
     # -- tissue name/id maps ------------------------------------------------
 
     def get_subdomain_id(self, subdomain_name: str):

@@ -129,6 +129,52 @@ def test_dirichlet_boundary_predicate_key(tmp_path):
     assert (c[mid] >= -1e-3).all() and c.max() <= 1.0 + 1e-9
 
 
+def test_von_neumann_on_subdomain_boundary_is_zero(tmp_path):
+    """'subdomain_boundary' von Neumann BCs are accepted and bound to the
+    exterior 'ds' measure, which never reaches the (interior) inter-tissue
+    facets — so they contribute exactly zero, matching the reference
+    (helper_classes.py:819-825 parses them; the ds-measure limitation is
+    documented at helper_classes.py:747-767)."""
+    mesh = rectangle_mesh((-5, -5), (5, 5), 10, 10)
+    r = np.linalg.norm(mesh.points, axis=1)
+    labels = np.where(r < 2.5, 2.0, 1.0)
+
+    def build(von_neumann_bcs):
+        sim = TumorGrowth(mesh)
+        sim.setup_global_parameters(
+            label_function=labels,
+            domain_names={1: "out", 2: "in"},
+            boundaries={"boundary_all": All()},
+            dirichlet_bcs={
+                "clamped": {"bc_value": np.zeros(2),
+                            "named_boundary": "boundary_all", "subspace_id": 0},
+            },
+            von_neumann_bcs=von_neumann_bcs,
+        )
+        sim.setup_model_parameters(
+            iv_expression={0: np.zeros(2),
+                           1: lambda x: np.exp(-(x[:, 0]**2 + x[:, 1]**2))},
+            diffusion=0.1, coupling=0.1, proliferation=0.2, E=0.001,
+            poisson=0.4, sim_time=2, sim_time_step=1,
+        )
+        sim.run(save_method=None, plot=False, output_dir=str(tmp_path))
+        return sim
+
+    vn = {"interface_flux": {"bc_value": 3.0, "subdomain_boundary": "out_in",
+                             "subspace_id": 1}}
+    sim_vn = build(vn)
+    # the BC is registered (not rejected) ...
+    assert "interface_flux" in sim_vn.bcs.von_neumann_bcs
+    assert len(sim_vn.bcs.von_neumann_bcs["interface_flux"]["facet_idx"]) == 0
+    # ... and the solution equals the no-BC solution (the extra zero surface
+    # term only perturbs XLA op fusion, at the last-ulp level)
+    sim_ref = build(None)
+    np.testing.assert_allclose(
+        np.asarray(sim_vn.solution[1]), np.asarray(sim_ref.solution[1]),
+        rtol=0, atol=1e-13,
+    )
+
+
 def test_dirichlet_on_subdomain_boundary(tmp_path):
     """Dirichlet pinned to an inter-tissue interface (reference
     'subdomain_boundary' branch, helper_classes.py:703-709)."""
