@@ -61,6 +61,8 @@ result = wf.compare_original_optimized()
 print("[05] parameter relative errors:",
       wf.measures["param_relative_errors"])
 
+frames = wf.post_process()  # per-step per-subdomain volume/COM frames
+print("[06] volume frame columns:", list(frames["volume"].columns))
 df = wf.compute_volume_com_per_step("forward")
 wf.write_analysis_summary({"volume_com": df.to_dict()})
 print("[06] summary ->", wf.path_to_summary)

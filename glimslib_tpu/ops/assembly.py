@@ -424,6 +424,12 @@ class P1Kernels:
         """Per-cell average of a P1 field, (nc,)."""
         return self._gather_T(c).mean(axis=0)
 
+    def cell_integral(self, c):
+        """∫_e c dx per cell, (nc,) — exact for P1 c (V_e · mean of vertex
+        values).  Masked sums of this implement the reference's
+        subdomain-restricted ``dx(i)`` measures (helper_classes.py:539-562)."""
+        return self.vol * self._gather_T(c).mean(axis=0)
+
     def cell_gradient(self, c):
         """Per-cell (constant) gradient of a P1 scalar field, (nc, d)."""
         ce = self._gather_T(c)

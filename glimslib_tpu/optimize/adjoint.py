@@ -120,7 +120,19 @@ class InverseProblem:
         threshold_levels: Dict[str, float] = CONC_THRESHOLD_LEVELS,
         n_steps: Optional[int] = None,
         dt: Optional[float] = None,
+        reg_alpha: float = 0.0,
+        target_weights: Optional[Dict[str, float]] = None,
     ):
+        # reg_alpha: Tikhonov weight on the final state, J += α ∫ |u|²+c² dx
+        # — the stabilizer the reference's noise case adds
+        # (test_case_..._2D_uniform_adjoint_noise.py: alpha*inner(u,u)*dx)
+        self.reg_alpha = float(reg_alpha)
+        # target_weights: per-target misfit multipliers (default 1.0 each,
+        # the reference's equal weighting at image_based_optimization.py:
+        # 687-698).  Down-weighting 'disp' is the standard remedy when the
+        # displacement target is registration-reconstructed and its
+        # magnitude error would otherwise dominate the functional.
+        self.target_weights = dict(target_weights or {})
         self.sim = sim
         self.param_names = list(param_names)
         self.update_fn = update_fn or (
@@ -161,6 +173,8 @@ class InverseProblem:
                 return jnp.sum(f * sim.concentration_mass_action(f))
             return jnp.sum(f * sim.displacement_mass_action(f))
 
+        weights = self.target_weights
+
         def objective(v):
             p = dict(base_params)
             p.update(update_fn(v))
@@ -170,13 +184,17 @@ class InverseProblem:
             c_T = c_traj[-1]
             J = 0.0
             if "conc_T2" in targets:
-                J = J + l2sq(thresh(c_T, levels["T2"]) - targets["conc_T2"])
+                J = J + weights.get("conc_T2", 1.0) * l2sq(
+                    thresh(c_T, levels["T2"]) - targets["conc_T2"])
             if "conc_T1" in targets:
-                J = J + l2sq(thresh(c_T, levels["T1"]) - targets["conc_T1"])
+                J = J + weights.get("conc_T1", 1.0) * l2sq(
+                    thresh(c_T, levels["T1"]) - targets["conc_T1"])
             if "conc" in targets:
-                J = J + l2sq(c_T - targets["conc"])
+                J = J + weights.get("conc", 1.0) * l2sq(c_T - targets["conc"])
             if "disp" in targets:
-                J = J + l2sq(u_T - targets["disp"])
+                J = J + weights.get("disp", 1.0) * l2sq(u_T - targets["disp"])
+            if self.reg_alpha > 0.0:
+                J = J + self.reg_alpha * (l2sq(u_T) + l2sq(c_T))
             return J
 
         self._objective = objective
@@ -202,10 +220,16 @@ class InverseProblem:
     # -- optimization (reference l.700-767) ---------------------------------
 
     def minimize(self, x0, bounds=None, opt_params=None):
-        """L-BFGS-B with the reference's defaults: bounds [0.005, 0.5],
-        tol 1e-6, gtol 1e-6 (image_based_optimization.py:711-718).
+        """Bounded optimization with the reference's defaults: L-BFGS-B,
+        bounds [0.005, 0.5], tol 1e-6, gtol 1e-6
+        (image_based_optimization.py:711-718).
 
-        Returns (x_opt, OptimizationProgress)."""
+        ``opt_params`` may carry ``method`` (any scipy gradient method) or
+        ``algorithm`` (a user-supplied ``custom_optimizer``-style callable,
+        reference image_based_optimization.py:646-658) besides the
+        tolerance/maxiter keys.
+
+        Returns (x_opt, OptimizationProgress, result)."""
         from glimslib_tpu.optimize.lbfgsb import minimize_lbfgsb
 
         x0 = np.asarray(x0, dtype=np.float64)

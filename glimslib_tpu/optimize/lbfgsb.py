@@ -95,12 +95,26 @@ def minimize_lbfgsb(
     eval_cb: Optional[Callable] = None,
     derivative_cb: Optional[Callable] = None,
     disp: bool = False,
+    method: str = "L-BFGS-B",
+    algorithm: Optional[Callable] = None,
 ):
-    """Run scipy L-BFGS-B on a (J, dJ) oracle with bounds
+    """Run a bounded optimizer on a (J, dJ) oracle
     (reference defaults: method L-BFGS-B, tol 1e-6, gtol 1e-6, bounds
     [0.005, 0.5]; image_based_optimization.py:711-718).
 
-    Returns (x_opt, progress, scipy_result)."""
+    The optimizer is pluggable like the reference's ``minimize_custom`` /
+    ``custom_optimizer`` path (image_based_optimization.py:646-658, 733):
+
+    - ``method``: any scipy.optimize gradient method name
+      ('L-BFGS-B', 'TNC', 'SLSQP', ...);
+    - ``algorithm``: a user-supplied callable
+      ``algorithm(J, x0, dJ, H, bounds, **kwargs) -> x_opt | OptimizeResult``
+      — the reference ``custom_optimizer`` signature — which takes over the
+      whole solve.  ``J``/``dJ`` share one memoized oracle evaluation, so a
+      J-then-dJ call at the same point costs one simulation.
+
+    Returns (x_opt, progress, scipy_result_or_equivalent)."""
+    from scipy.optimize import OptimizeResult
     from scipy.optimize import minimize as scipy_minimize
 
     x0 = np.asarray(x0, dtype=np.float64)
@@ -110,7 +124,7 @@ def minimize_lbfgsb(
     def fun(x):
         j, g = value_and_grad(x)
         progress.record_eval(j, x)
-        progress.record_grad(j, g)
+        progress.record_grad(j, dj=g)
         if eval_cb:
             eval_cb(j, x)
         if derivative_cb:
@@ -118,14 +132,45 @@ def minimize_lbfgsb(
         logger.info("optimization eval: J=%.6e params=%s", j, list(x))
         return j, g
 
+    if algorithm is not None:
+        memo = {}
+
+        def _eval(x):
+            key = np.asarray(x, np.float64).tobytes()
+            if key not in memo:
+                memo[key] = fun(np.asarray(x, np.float64))
+            return memo[key]
+
+        out = algorithm(
+            lambda x: _eval(x)[0], x0, lambda x: _eval(x)[1], None, bounds,
+            tol=tol, options={"maxiter": maxiter},
+        )
+        if isinstance(out, OptimizeResult):
+            res = out
+        else:
+            x_opt = np.asarray(out, dtype=np.float64)
+            j_opt, _ = _eval(x_opt)
+            res = OptimizeResult(
+                x=x_opt, fun=j_opt, success=True,
+                nit=progress.number_iterations,
+                message="custom algorithm finished",
+            )
+        logger.info("-- Finished Optimization (custom): %s", res.message)
+        return np.asarray(res.x), progress, res
+
+    options = {"maxiter": maxiter}
+    if method.upper() in ("L-BFGS-B", "TNC"):
+        options["gtol"] = gtol
     res = scipy_minimize(
         fun,
         x0,
         jac=True,
-        method="L-BFGS-B",
+        method=method,
         bounds=bounds,
         tol=tol,
-        options={"gtol": gtol, "maxiter": maxiter},
+        options=options,
     )
+    if not hasattr(res, "nit"):  # some methods report nfev only
+        res.nit = res.get("nfev", progress.number_iterations)
     logger.info("-- Finished Optimization: %s", res.message)
     return np.asarray(res.x), progress, res

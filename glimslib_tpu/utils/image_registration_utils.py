@@ -148,33 +148,55 @@ def register_ants_synquick(fixed_img, moving_img, output_prefix,
 
 
 def estimate_displacement_demons(fixed: Image, moving: Image, n_iter=60,
-                                 smooth_sigma=1.5, step=0.7) -> np.ndarray:
-    """Coarse demons-style displacement field aligning ``moving`` to
-    ``fixed`` (the role of SyN in _reconstruct_deformation_field,
-    image_based_optimization.py:943-978).  Returns (..., dim) displacement
-    in *physical* units, array-ordered like ``fixed.data``."""
-    from scipy.ndimage import gaussian_filter, map_coordinates
+                                 smooth_sigma=1.5, step=0.7, img_sigma=1.0,
+                                 n_levels=2) -> np.ndarray:
+    """Demons-style displacement field aligning ``moving`` to ``fixed``
+    (the role of SyN in _reconstruct_deformation_field,
+    image_based_optimization.py:943-978).
 
-    f = np.asarray(fixed.data, dtype=np.float64)
-    m = np.asarray(moving.data, dtype=np.float64)
-    dim = f.ndim
-    disp = np.zeros(f.shape + (dim,))
-    coords0 = np.stack(
-        np.meshgrid(*[np.arange(s) for s in f.shape], indexing="ij"), axis=-1
-    ).astype(np.float64)
+    Multi-resolution (coarse-to-fine, like ANTs' shrink-factor schedule at
+    image_registration_utils.py:55-60) with Gaussian image pre-smoothing so
+    integer label maps provide usable gradients.  Returns (..., dim)
+    displacement in *physical* units, array-ordered like ``fixed.data``."""
+    from scipy.ndimage import gaussian_filter, map_coordinates, zoom
+
+    f0 = gaussian_filter(np.asarray(fixed.data, dtype=np.float64), img_sigma)
+    m0 = gaussian_filter(np.asarray(moving.data, dtype=np.float64), img_sigma)
+    dim = f0.ndim
     spacing = np.asarray(list(reversed(fixed.spacing)))  # array-axis order
-    for _ in range(n_iter):
-        warped = map_coordinates(
-            m, np.moveaxis(coords0 + disp, -1, 0), order=1, mode="nearest"
-        )
-        diff = warped - f
-        grad = np.stack(np.gradient(warped), axis=-1)
-        g2 = (grad**2).sum(axis=-1)
-        denom = g2 + diff**2 + 1e-9
-        upd = -step * (diff[..., None] * grad) / denom[..., None]
-        disp = disp + upd
-        for a in range(dim):
-            disp[..., a] = gaussian_filter(disp[..., a], smooth_sigma)
+    disp = None
+    for level in reversed(range(n_levels)):  # coarse -> fine
+        scale = 2**level
+        if scale > 1:
+            f = zoom(f0, 1.0 / scale, order=1)
+            m = zoom(m0, 1.0 / scale, order=1)
+        else:
+            f, m = f0, m0
+        if disp is None:
+            disp = np.zeros(f.shape + (dim,))
+        else:
+            # upsample the coarse field; voxel units double per level
+            factors = [ft / ct for ft, ct in zip(f.shape, disp.shape[:-1])]
+            disp = np.stack(
+                [zoom(disp[..., a], factors, order=1) for a in range(dim)],
+                axis=-1,
+            ) * 2.0
+        coords0 = np.stack(
+            np.meshgrid(*[np.arange(s) for s in f.shape], indexing="ij"),
+            axis=-1,
+        ).astype(np.float64)
+        for _ in range(n_iter):
+            warped = map_coordinates(
+                m, np.moveaxis(coords0 + disp, -1, 0), order=1, mode="nearest"
+            )
+            diff = warped - f
+            grad = np.stack(np.gradient(warped), axis=-1)
+            g2 = (grad**2).sum(axis=-1)
+            denom = g2 + diff**2 + 1e-9
+            upd = -step * (diff[..., None] * grad) / denom[..., None]
+            disp = disp + upd
+            for a in range(dim):
+                disp[..., a] = gaussian_filter(disp[..., a], smooth_sigma)
     # voxel displacement (array axes) -> physical displacement in x,y,z order
     phys = disp * spacing.reshape((1,) * dim + (dim,))
     return phys[..., ::-1].copy()

@@ -116,7 +116,8 @@ class ImageBasedOptimizationBase:
         "params_forward", "params_inverse", "model_params_optimized",
         "path_mesh_hdf5", "path_labelfunction",
         "path_conc_T2", "path_conc_T1", "path_displacement_reconstructed",
-        "path_parameters_optimized",
+        "path_parameters_optimized", "path_optimized_conc",
+        "path_optimized_disp",
     ]
 
     def _save_state(self):
@@ -343,16 +344,25 @@ class ImageBasedOptimizationBase:
 
     def _create_deformed_image(self, labelmap_img: Image, disp_field,
                                out_prefix):
-        """Warp the label image by the simulated displacement and write it +
-        the displacement channels (reference l.876-941)."""
+        """Warp the source image by the simulated displacement and write it +
+        the displacement channels (reference l.876-941).  Integer-valued
+        sources (labelmaps) are rounded back to labels; float sources (T1
+        intensities, the reference's registration input) keep their
+        values."""
         disp_on_grid = self._sample_field_on_image_grid(disp_field, labelmap_img)
         warped = reg.apply_displacement(
             labelmap_img, labelmap_img, -disp_on_grid
         )  # pull-back with inverse ~ -u for small deformations
         path_img = f"{out_prefix}_labels_deformed.mha"
-        write_image(path_img, Image(
-            np.rint(warped.data).astype(np.int16), warped.origin, warped.spacing
-        ))
+        src = np.asarray(labelmap_img.data)
+        is_labels = np.issubdtype(src.dtype, np.integer) or np.allclose(
+            src, np.rint(src)
+        )
+        if is_labels:
+            data = np.rint(warped.data).astype(np.int16)
+        else:
+            data = np.asarray(warped.data, dtype=np.float32)
+        write_image(path_img, Image(data, warped.origin, warped.spacing))
         path_disp = f"{out_prefix}_displacement.mha"
         write_image(path_disp, Image(
             disp_on_grid.astype(np.float32), labelmap_img.origin,
@@ -393,7 +403,7 @@ class ImageBasedOptimizationBase:
 
     def init_inverse_problem(self, seed_position, model_params_varying,
                              sim_params, model_params_fixed=None,
-                             optimization_type=5, **kw):
+                             optimization_type=5, target_weights=None, **kw):
         self.params_inverse = {
             "seed_position": list(np.asarray(seed_position, float)),
             "model_params_varying": dict(model_params_varying),
@@ -404,6 +414,9 @@ class ImageBasedOptimizationBase:
             ),
             "sim_params": dict(sim_params),
             "optimization_type": optimization_type,
+            # per-target misfit multipliers (e.g. down-weight 'disp' when
+            # the displacement target is registration-reconstructed)
+            "target_weights": dict(target_weights or {}),
         }
         self._save_state()
         return self._init_problem(
@@ -439,6 +452,7 @@ class ImageBasedOptimizationBase:
         ip = InverseProblem(
             sim, params_names, targets, update_fn=update_fn,
             threshold_levels=self.conc_threshold_levels,
+            target_weights=self.params_inverse.get("target_weights"),
         )
         self.logger.info("== Start Optimization")
         x_opt, progress, res = ip.minimize(
@@ -497,40 +511,248 @@ class ImageBasedOptimizationBase:
             plot=self.plot if plot is None else plot,
             output_dir=self.path_optimized_sim,
         )
+        # save the final concentration/displacement fields like the
+        # reference (l.584-596) — consumed by compute_com_all
+        self.path_optimized_conc = self.data.create_fenics_path(
+            processing=self.steps_sub_path_map["optimized_sim"],
+            datasource="simulation", content="conc", frame="reference",
+            extension="h5", domain="full",
+        )
+        self.path_optimized_disp = self.path_optimized_conc.replace(
+            "conc", "disp"
+        )
+        conc = np.asarray(sim.solution[1])
+        if hasattr(sim, "p2"):
+            conc = np.asarray(sim.p2.vertex_part(conc))
+        dio.save_function_mesh(conc, self.path_optimized_conc, mesh=self.mesh)
+        dio.save_function_mesh(np.asarray(sim.solution[0]),
+                               self.path_optimized_disp, mesh=self.mesh)
         self._save_state()
         return sim
 
     # -- analysis (reference l.1241-1430) ------------------------------------
 
     @staticmethod
-    def compute_com(kernels, conc, points):
-        """Concentration centre of mass (reference compute_com, l.1415-1430)."""
+    def _xls_or_csv(df, path_xls):
+        """Persist a DataFrame to xls, falling back to csv when no xls
+        engine is installed (same policy as the optimizer progress frames)."""
+        try:
+            df.to_excel(path_xls)
+        except Exception:
+            df.to_csv(os.path.splitext(path_xls)[0] + ".csv")
+
+    @staticmethod
+    def _conc_kernels(sim, field):
+        """Kernels matching the dof layout of ``field``: the P2 kernels for
+        quad-model concentration vectors, the P1 kernels otherwise."""
+        p2 = getattr(sim, "p2", None)
+        if p2 is not None and len(np.asarray(field)) == p2.n_dofs:
+            return p2
+        return sim.kernels
+
+    def _cell_integrals(self, sim, field):
+        """Per-cell integrals ∫_e f dx of a nodal field, (n_cells,)."""
         import jax.numpy as jnp
 
-        c = jnp.asarray(np.asarray(conc, dtype=np.float64))
-        total = kernels.integrate_p1(c)
+        kern = self._conc_kernels(sim, field)
+        return np.asarray(
+            kern.cell_integral(jnp.asarray(np.asarray(field, np.float64)))
+        )
+
+    def compute_volume(self, sim, field, cell_mask=None):
+        """∫ f dx over the full domain or a subdomain cell mask (reference
+        compute_volume / dx(i) measures, l.1403-1413)."""
+        ci = self._cell_integrals(sim, field)
+        return float(ci.sum() if cell_mask is None else ci[cell_mask].sum())
+
+    def compute_com(self, sim, field, cell_mask=None):
+        """Centre of mass [∫ x_a f dx / ∫ f dx]; NaN components when the
+        masked volume vanishes (reference compute_com, l.1415-1430)."""
+        f = np.asarray(field, np.float64)
+        kern = self._conc_kernels(sim, f)
+        coords = np.asarray(getattr(kern, "dof_coords", sim.mesh.points))
+        vol = self.compute_volume(sim, f, cell_mask)
         com = []
-        for a in range(points.shape[1]):
-            xa = jnp.asarray(points[:, a])
-            com.append(float(kernels.integrate_p1(c * xa) / total))
+        for a in range(sim.mesh.dim):
+            if vol > 0:
+                ci = self._cell_integrals(sim, f * coords[:, a])
+                num = ci.sum() if cell_mask is None else ci[cell_mask].sum()
+                com.append(float(num) / vol)
+            else:
+                com.append(float("nan"))
         return com
 
+    def compute_from_conc_for_each_time_step(self, threshold=None,
+                                             problem_type="forward",
+                                             computation="volume"):
+        """Per-recorded-step, per-tissue-subdomain tumor ``volume`` or
+        ``com`` of the threshold indicator (c >= threshold), in the
+        reference configuration (reference l.1336-1401).
+
+        Columns: ``sim_time_step``, ``all`` (or ``all_0..all_{d-1}`` for
+        COM), then one column (or d columns) per tissue name, lowercased —
+        matching the reference frame's scheme.  Saved to
+        ``<sim dir>/{computation}_{threshold}.pkl`` (+ xls/csv).
+        """
+        import pandas as pd
+
+        if not threshold:
+            threshold = self.conc_threshold_levels["T2"]
+        if problem_type not in self.sims:
+            self.logger.warning(
+                "Cannot compute '%s' for '%s': no such simulation instance",
+                computation, problem_type,
+            )
+            return None
+        sim = self.sims[problem_type]
+        if getattr(sim, "results", None) is None:
+            # e.g. the inverse sim: run_for_adjoint records nothing
+            # (reference simulation_tumor_growth.py:142-155 runs with
+            # saving/plotting off)
+            self.logger.warning(
+                "Cannot compute '%s' for '%s': no recorded results",
+                computation, problem_type,
+            )
+            return None
+        base_path = getattr(self, f"path_{problem_type}_sim")
+        masks = [("all", None)] + [
+            (name.lower(), sim.subdomains.cell_mask(tid))
+            for tid, name in sim.subdomains.tissue_id_name_map.items()
+        ]
+        rows = []
+        for step in sim.results.get_recording_steps():
+            c = np.asarray(sim.results.get_result(step)[1], np.float64)
+            # hard indicator at the dofs; the reference projects
+            # fenics.conditional(ge(conc, threshold)) (l.1358-1360)
+            q = (c >= threshold).astype(np.float64)
+            row = {"sim_time_step": step}
+            if computation == "volume":
+                ci = self._cell_integrals(sim, q)
+                for name, mask in masks:
+                    row[name] = float(
+                        ci.sum() if mask is None else ci[mask].sum()
+                    )
+            elif computation == "com":
+                for name, mask in masks:
+                    for a, x in enumerate(self.compute_com(sim, q, mask)):
+                        row[f"{name}_{a}"] = x
+            else:
+                self.logger.warning("Cannot compute '%s' -- undefined",
+                                    computation)
+                return None
+            rows.append(row)
+        results = pd.DataFrame(rows)
+        fu.ensure_dir_exists(base_path)
+        save_base = os.path.join(base_path, f"{computation}_{threshold}")
+        results.to_pickle(save_base + ".pkl")
+        self._xls_or_csv(results, save_base + ".xls")
+        return results
+
+    def compute_volume_thresholded(self):
+        """Volumes of the saved T2/T1 target fields -> measures dict
+        (reference l.1262-1277)."""
+        sim = self.sims.get("inverse") or self.sims.get("forward")
+        if sim is None:
+            self.logger.warning("Cannot compute volume: no simulation instance")
+            return
+        vol_dict = {
+            "volume_threshold_T2_target": getattr(self, "path_conc_T2", None),
+            "volume_threshold_T1_target": getattr(self, "path_conc_T1", None),
+        }
+        for name, path in vol_dict.items():
+            if path and os.path.exists(path):
+                conc, _, _, _ = dio.load_function_mesh(path)
+                self.measures[name] = self.compute_volume(sim, conc)
+            else:
+                self.logger.warning(
+                    "Cannot compute volume: '%s' does not exist", path
+                )
+        self._save_state()
+
+    def compute_com_all(self, conc_dict=None):
+        """COMs of the target fields and the optimized final concentration
+        -> measures dict as ``com_{i}_{name}`` (reference l.1279-1304)."""
+        sim = self.sims.get("inverse") or self.sims.get("forward")
+        if sim is None:
+            self.logger.warning("Cannot compute com: no simulation instance")
+            return
+        field_dict = {
+            "threshold_T2_target": getattr(self, "path_conc_T2", None),
+            "threshold_T1_target": getattr(self, "path_conc_T1", None),
+            "inverse": getattr(self, "path_optimized_conc", None),
+        }
+        if conc_dict is not None:
+            field_dict.update(conc_dict)
+        for name, path in field_dict.items():
+            if path and os.path.exists(path):
+                conc, _, _, _ = dio.load_function_mesh(path)
+                for i, coord in enumerate(self.compute_com(sim, conc)):
+                    self.measures[f"com_{i}_{name}"] = coord
+            else:
+                self.logger.warning("Cannot compute COM: '%s' does not exist",
+                                    path)
+        self._save_state()
+
+    def post_process(self, sim_list=None, threshold_list=None):
+        """Full analysis stage (reference post_process, l.1306-1333):
+        target-field volumes/COMs into the measures dict, then per-step
+        per-subdomain volume/COM frames for every (simulation, threshold)
+        pair, merged on ``sim_time_step`` with columns renamed to
+        ``{problem_type}_{measure}_{threshold}_{name}`` and saved to
+        ``<base_dir>/{volume,com}.pkl`` (+ xls/csv)."""
+        import itertools
+
+        import pandas as pd
+
+        if sim_list is None:
+            sim_list = [n for n in ("forward", "inverse", "optimized")
+                        if n in self.sims]
+        if threshold_list is None:
+            threshold_list = [self.conc_threshold_levels["T2"],
+                              self.conc_threshold_levels["T1"]]
+        self.compute_volume_thresholded()
+        self.compute_com_all()
+        frames = {}
+        for measure in ("volume", "com"):
+            results_df = pd.DataFrame()
+            for problem_type, threshold in itertools.product(
+                    sim_list, threshold_list):
+                tmp = self.compute_from_conc_for_each_time_step(
+                    threshold=threshold, problem_type=problem_type,
+                    computation=measure,
+                )
+                if tmp is None:
+                    continue
+                tmp = tmp.rename(columns={
+                    n: "_".join([problem_type, measure, str(threshold), n])
+                    for n in tmp.columns if n != "sim_time_step"
+                })
+                results_df = tmp if results_df.empty else pd.merge(
+                    results_df, tmp, how="left", on="sim_time_step"
+                )
+            path = os.path.join(self.base_dir, measure + ".pkl")
+            results_df.to_pickle(path)
+            self._xls_or_csv(results_df,
+                             os.path.join(self.base_dir, measure + ".xls"))
+            frames[measure] = results_df
+        self._save_state()
+        return frames
+
     def compute_volume_com_per_step(self, sim_name="forward"):
-        """Tumor volume + COM per recorded step (reference l.1279-1401)."""
+        """Convenience frame (back-compat): global T2-threshold volume +
+        unthresholded-concentration COM per recorded step.  The
+        reference-parity per-subdomain frames are produced by
+        :meth:`post_process` / :meth:`compute_from_conc_for_each_time_step`."""
         import pandas as pd
 
         sim = self.sims[sim_name]
         rows = []
         for rs in sim.results.get_recording_steps():
-            fields = sim.results.get_result(rs)
-            c = np.asarray(fields[1])
+            c = np.asarray(sim.results.get_result(rs)[1], np.float64)
             thr = (c > self.conc_threshold_levels["T2"]).astype(np.float64)
-            import jax.numpy as jnp
-
-            vol = float(sim.kernels.integrate_p1(jnp.asarray(thr)))
-            com = self.compute_com(sim.kernels, c, sim.mesh.points)
-            row = {"recording_step": rs, "volume_T2": vol}
-            for a, x in enumerate(com):
+            row = {"recording_step": rs,
+                   "volume_T2": self.compute_volume(sim, thr)}
+            for a, x in enumerate(self.compute_com(sim, c)):
                 row[f"com_{'xyz'[a]}"] = x
             rows.append(row)
         return pd.DataFrame(rows)

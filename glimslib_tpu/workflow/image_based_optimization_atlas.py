@@ -42,27 +42,55 @@ class ImageBasedOptimizationAtlas(ImageBasedOptimizationBase):
         u_final = np.asarray(sim.solution[0])
         self.create_thresholded_conc_fields(c_final)
         if reconstruct_displacement:
-            lab_img = read_image(self.path_to_labels_atlas_orig)
+            # the reference warps and registers the textured T1 image
+            # (atlas.py:23-38, path_to_domain_image_main); fall back to the
+            # labelmap when no intensity atlas was provided
+            src_path = (self.path_to_image_atlas_orig
+                        or self.path_to_labels_atlas_orig)
+            src_img = read_image(src_path)
             if self.dim == 2:
-                lab_img = lab_img.slice_z(self.image_z_slice)
+                src_img = src_img.slice_z(self.image_z_slice)
             prefix = os.path.join(
                 self.path_target_fields, "atlas"
             )
             fu.ensure_dir_exists(self.path_target_fields)
             path_def, path_disp = self._create_deformed_image(
-                lab_img, u_final, prefix
+                src_img, u_final, prefix
             )
             ref_path = os.path.join(self.path_target_fields, "labels_ref.mha")
             from glimslib_tpu.utils.image_io import Image, write_image
 
-            write_image(ref_path, lab_img.astype(np.float32))
+            write_image(ref_path, src_img.astype(np.float32))
+            # fixed = reference (undeformed) image, moving = deformed image
+            # (reference atlas.py:36-38): registering deformed->reference
+            # recovers +u on the reference grid
             disp_nodal = self._reconstruct_deformation_field(
-                path_def, ref_path, prefix + "_reg"
+                ref_path, path_def, prefix + "_reg"
             )
             self.save_displacement_target(disp_nodal)
         else:
             self.save_displacement_target(u_final)
         self._save_state()
+
+    def compare_displacement_field_simulated_registered(self):
+        """Errornorm of the registration-reconstructed displacement vs the
+        simulated truth -> measures dict (reference atlas.py:45-78)."""
+        import jax.numpy as jnp
+
+        from glimslib_tpu.utils import data_io as dio
+
+        sim = self.sims["forward"]
+        disp_sim = np.asarray(sim.solution[0])
+        disp_est, _, _, _ = dio.load_function_mesh(
+            self.path_displacement_reconstructed
+        )
+        diff = jnp.asarray(disp_sim - np.asarray(disp_est))
+        err = float(jnp.sqrt(jnp.sum(
+            diff * sim.displacement_mass_action(diff)
+        )))
+        self.measures["errornorm_displacement_simulated_vs_registered"] = err
+        self._save_state()
+        return err
 
     # -- comparison (reference atlas.py:80-151) ------------------------------
 

@@ -121,6 +121,68 @@ def test_lbfgsb_recovers_parameters(small_sim):
     assert "dJddiffusion" in df.columns
 
 
+def test_pluggable_optimizer(small_sim):
+    """The optimizer is pluggable like the reference's minimize_custom /
+    custom_optimizer hook (image_based_optimization.py:646-658): a scipy
+    method name or a user-supplied algorithm callable."""
+    sim = small_sim
+    names, update = tumor_growth_param_map(2)
+    v_true = np.array([0.12, 0.08])
+    targets = _make_targets(sim, v_true, names, update)
+    ip = InverseProblem(sim, names, targets, update_fn=update)
+
+    # (a) scipy method by name
+    x_opt, progress, res = ip.minimize(
+        x0=np.array([0.05, 0.2]), bounds=[(0.005, 0.5)] * 2,
+        opt_params={"tol": 1e-12, "gtol": 1e-10, "method": "TNC"},
+    )
+    assert np.allclose(x_opt, v_true, rtol=1e-2), (x_opt, v_true)
+
+    # (b) user-supplied custom_optimizer-style callable
+    calls = {"n": 0}
+
+    def custom_optimizer(J, m_global, dJ, H, bounds, **kwargs):
+        from scipy.optimize import minimize as scipy_minimize
+
+        calls["n"] += 1
+        return np.array(scipy_minimize(
+            J, m_global, jac=dJ, method="L-BFGS-B", bounds=bounds,
+            tol=kwargs.get("tol", 1e-12),
+        )["x"])
+
+    x_opt2, progress2, res2 = ip.minimize(
+        x0=np.array([0.05, 0.2]), bounds=[(0.005, 0.5)] * 2,
+        opt_params={"tol": 1e-12, "algorithm": custom_optimizer},
+    )
+    assert calls["n"] == 1
+    assert np.allclose(x_opt2, v_true, rtol=1e-3), (x_opt2, v_true)
+    # progress frames recorded through the memoized oracle
+    assert progress2.number_iterations >= 2
+    assert float(res2.fun) < 1e-12
+
+
+def test_noise_robust_inversion_with_regularization(small_sim):
+    """Noisy targets + Tikhonov term (reference
+    test_case_..._2D_uniform_adjoint_noise.py): parameters still recovered
+    to a few percent."""
+    sim = small_sim
+    names, update = tumor_growth_param_map(2)
+    v_true = np.array([0.12, 0.08])
+    targets = _make_targets(sim, v_true, names, update)
+    rng = np.random.default_rng(1)
+    targets = {
+        k: np.asarray(v) + 0.02 * rng.standard_normal(np.shape(v))
+        for k, v in targets.items()
+    }
+    ip = InverseProblem(sim, names, targets, update_fn=update,
+                        reg_alpha=1e-5)
+    x_opt, progress, res = ip.minimize(
+        x0=np.array([0.05, 0.2]), bounds=[(0.005, 0.5)] * 2,
+        opt_params={"tol": 1e-12, "gtol": 1e-10},
+    )
+    assert np.allclose(x_opt, v_true, rtol=0.15), (x_opt, v_true)
+
+
 def test_param_maps_match_reference_tying():
     """Tied-parameter heuristics (brain_quad.py:151-210)."""
     names, update = param_map_for_type(2)

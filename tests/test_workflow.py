@@ -105,6 +105,43 @@ def test_06_analysis_and_summary(workflow):
     assert os.path.exists(p)
 
 
+def test_06b_per_subdomain_post_process(workflow):
+    """Reference post_process parity (image_based_optimization.py:1279-1401):
+    per-step per-tissue volume/COM frames for every (sim, threshold) pair,
+    merged with {problem_type}_{measure}_{threshold}_{name} columns."""
+    frames = workflow.post_process()
+    tissue_names = [n.lower() for n in workflow.sims[
+        "forward"].subdomains.tissue_id_name_map.values()]
+    t2 = workflow.conc_threshold_levels["T2"]
+    vol = frames["volume"]
+    assert "sim_time_step" in vol.columns
+    for name in ["all"] + tissue_names:
+        col = f"forward_volume_{t2}_{name}"
+        assert col in vol.columns, (col, list(vol.columns))
+    # tissue volumes partition the total (indicator integrated per dx(i))
+    parts = sum(vol[f"forward_volume_{t2}_{n}"] for n in tissue_names)
+    np.testing.assert_allclose(parts, vol[f"forward_volume_{t2}_all"],
+                               rtol=1e-12)
+    com = frames["com"]
+    for name in ["all"] + tissue_names:
+        for a in range(2):
+            assert f"forward_com_{t2}_{name}_{a}" in com.columns
+    # empty subdomains give NaN COM like the reference (volume <= 0)
+    assert np.isnan(com[f"forward_com_{t2}_outside_0"]).all()
+    # COM of the tumor indicator sits near the seed
+    assert abs(com[f"forward_com_{t2}_all_0"].iloc[-1] - 10.5) < 2.0
+    # target-field measures land in the measures dict (reference l.1262-1304)
+    assert workflow.measures["volume_threshold_T2_target"] > 0
+    assert "com_0_threshold_T2_target" in workflow.measures
+    assert "com_0_inverse" in workflow.measures
+    # frames + per-sim pickles persisted
+    assert os.path.exists(os.path.join(workflow.base_dir, "volume.pkl"))
+    assert os.path.exists(os.path.join(workflow.base_dir, "com.pkl"))
+    assert os.path.exists(
+        os.path.join(workflow.path_forward_sim, f"volume_{t2}.pkl")
+    )
+
+
 def test_07_state_reload(workflow, atlas_file):
     """Fresh-process resume via pickled state (reference l.824-874)."""
     wf2 = ImageBasedOptimizationAtlas(base_dir=workflow.base_dir)
@@ -128,6 +165,77 @@ def test_path_io_pattern():
         p2 = pio.create_params_path(processing="02_inverse_simulation",
                                     datasource="optimization")
         assert p2.endswith("02_inverse_simulation/optimization_parameterset.pkl")
+
+
+def test_reconstructed_displacement_targets(atlas_file, tmp_path):
+    """The reference's central target-synthesis loop
+    (image_based_optimization.py:876-978): warp the labelmap by the
+    simulated displacement, re-estimate the displacement by registration
+    (demons fallback here), and invert against the *reconstructed*
+    (imperfect) target — parameters must still move toward the truth."""
+    from glimslib_tpu.utils.synthetic import t1_from_labels
+
+    base = str(tmp_path / "wfr")
+    # provide the textured T1 image the reference registers on
+    # (atlas.py:23-38, path_to_domain_image_main)
+    lab_img = brain_labelmap_3d(20, 20, 8)
+    t1 = t1_from_labels(lab_img)
+    t1_path = str(tmp_path / "atlas_t1.mha")
+    write_mha(t1_path, Image(np.asarray(t1, np.float32), origin=(0, 0, 0),
+                             spacing=(1, 1, 1)))
+    wf = ImageBasedOptimizationAtlas(
+        base_dir=base, path_to_labels_atlas=atlas_file,
+        path_to_image_atlas=t1_path, image_z_slice=4,
+    )
+    wf.prepare_domain()
+    seed = [10.5, 10.5]
+    # stronger coupling + growth and two more steps so the displacement
+    # reaches ~1.5 voxels (survives the image round-trip) and the T1=0.8
+    # threshold field is non-empty (identifies rho)
+    varying = dict(MODEL_PARAMS_VARYING, coupling=1.0, rho_WM=0.3,
+                   rho_GM=0.06)
+    sim_params = dict(SIM_PARAMS, sim_time=4)
+    wf.init_forward_problem(seed, varying, MODEL_PARAMS_FIXED, sim_params)
+    wf.run_forward_sim(plot=False, save_method=None)
+    wf.create_target_fields(reconstruct_displacement=True)
+    # the reconstruction ran through the image pipeline and wrote artifacts
+    assert os.path.exists(wf.path_displacement_reconstructed)
+    assert os.path.exists(
+        os.path.join(wf.path_target_fields, "atlas_labels_deformed.mha")
+    )
+    # reconstructed target correlates with the true displacement but is not
+    # identical (it went through warp -> register -> sample round trips)
+    import glimslib_tpu.utils.data_io as dio
+
+    disp_rec, _, _, _ = dio.load_function_mesh(
+        wf.path_displacement_reconstructed
+    )
+    disp_true = np.asarray(wf.sims["forward"].solution[0])
+    assert not np.allclose(disp_rec, disp_true)
+    # ... but it does carry real signal (positively correlated with truth)
+    corr = np.corrcoef(disp_rec.ravel(), disp_true.ravel())[0, 1]
+    assert corr > 0.5, corr
+    # reference atlas.py:45-78 comparison metric
+    err = wf.compare_displacement_field_simulated_registered()
+    assert np.isfinite(err) and err > 0
+    assert ("errornorm_displacement_simulated_vs_registered"
+            in wf.measures)
+    start = dict(varying)
+    start.update(D_WM=0.05, rho_WM=0.15)
+    # down-weight the displacement misfit: the demons-reconstructed target
+    # underestimates |u| ~2x (regularization bias; ANTs SyN shares this),
+    # and at weight 1.0 that magnitude error dominates the functional and
+    # drives the parameters to the bounds
+    wf.init_inverse_problem(seed, start, sim_params, optimization_type=2,
+                            target_weights={"disp": 0.005})
+    wf.run_inverse_problem(opt_params={"tol": 1e-6, "gtol": 1e-6,
+                                       "maxiter": 50})
+    opt = wf.model_params_optimized
+    # recovered toward the truth (D_WM=0.1, rho_WM=0.3) from (0.05, 0.15)
+    # despite the imperfect reconstructed displacement target, and away
+    # from the box bounds [0.005, 0.5]
+    assert 0.05 < opt["D_WM"] < 0.2, opt
+    assert 0.18 < opt["rho_WM"] < 0.45, opt
 
 
 def test_quad_model_workflow(atlas_file, tmp_path):
