@@ -37,6 +37,11 @@ USE_ADJOINT = False
 # float64 (on CPU); TPU benchmarks use float32 (f64 is emulated on TPU).
 default_dtype = os.environ.get("GLIMS_DTYPE", "float64")
 
+# Chebyshev polynomial preconditioning degree for the per-step CG solves
+# (solvers/cg.py make_chebyshev_precond; 0/1 = Jacobi/block-Jacobi alone).
+# Overridable per model via ``sim.step_config``.
+precond_degree = int(os.environ.get("GLIMS_PRECOND_DEGREE", "0"))
+
 
 def enable_x64():
     """Enable 64-bit computation in JAX (needed for 1e-6-level parity)."""

@@ -51,6 +51,34 @@ def _facet_kernels(*args, **kw):
     return FacetKernels(*args, **kw)
 
 
+def _p2_facet_kernels(*args, **kw):
+    from glimslib_tpu.ops.p2 import P2FacetKernels
+
+    return P2FacetKernels(*args, **kw)
+
+
+def _facet_edge_dofs(mesh, facet_vertex_sets: np.ndarray) -> np.ndarray:
+    """Edge-midpoint dof ids (offset by n_nodes) of the facets given as
+    (nf, d) vertex-node arrays — the P2 dofs a facet carries beyond its
+    vertices."""
+    if len(facet_vertex_sets) == 0:
+        return np.zeros(0, dtype=np.int64)
+    d = mesh.dim
+    if d == 2:
+        pairs = facet_vertex_sets  # a 2D facet is itself one edge
+    else:
+        pairs = np.concatenate(
+            [
+                facet_vertex_sets[:, [0, 1]],
+                facet_vertex_sets[:, [0, 2]],
+                facet_vertex_sets[:, [1, 2]],
+            ],
+            axis=0,
+        )
+    eids = np.unique(mesh.edge_ids_for_pairs(pairs))
+    return mesh.n_nodes + eids.astype(np.int64)
+
+
 class DirichletBC:
     """Compiled Dirichlet condition on one subspace."""
 
@@ -125,6 +153,33 @@ class BoundaryConditions:
             return np.unique(m.boundary_facet_nodes[fidx].ravel())
         return None
 
+    def _boundary_facet_vertex_sets_for(self, bc_dict) -> Optional[np.ndarray]:
+        """Facets covered by the BC spec, as (nf, d) vertex-node arrays.
+
+        Used to locate P2 edge dofs (topological semantics, like
+        ``fenics.DirichletBC`` 'topological' method: a facet belongs to the
+        BC when all its vertices do)."""
+        m = self._subdomains.mesh
+        if "boundary" in bc_dict:
+            pred = bc_dict["boundary"]
+            ok = np.zeros(m.n_nodes, dtype=bool)
+            bn = m.boundary_nodes
+            ok[bn[_eval_predicate(pred, m.points[bn], True)]] = True
+            sel = ok[m.boundary_facet_nodes].all(axis=1)
+            return m.boundary_facet_nodes[sel]
+        if "subdomain_boundary" in bc_dict:
+            name = bc_dict["subdomain_boundary"]
+            if name in self._subdomains.subdomain_boundaries_id_dict:
+                return self._subdomains.subdomain_boundary_facet_nodes(name)
+            return None
+        if "named_boundary" in bc_dict:
+            name = bc_dict["named_boundary"]
+            if self._subdomains.named_boundaries_id_dict.get(name) is None:
+                return None
+            fidx = self._subdomains.named_boundary_facets(name)
+            return m.boundary_facet_nodes[fidx]
+        return None
+
     def _construct_dirichlet_bc(self, bc_dict) -> Optional[DirichletBC]:
         if "bc_value" not in bc_dict:
             logger.error("Dirichlet BC dict missing 'bc_value'")
@@ -138,12 +193,15 @@ class BoundaryConditions:
         if nodes is None:
             return None
         ss = self._functionspace.subspaces.get_subspace(subspace_id)
-        if ss.degree > 1:
-            logger.warning(
-                "Dirichlet BC on a degree-%d subspace constrains vertex dofs "
-                "only (edge dofs unconstrained); no reference quad case uses "
-                "this", ss.degree,
-            )
+        if ss.degree == 2:
+            # constrain the facet edge-midpoint dofs too (fenics.DirichletBC
+            # topological semantics over the full P2 dof set)
+            fvs = self._boundary_facet_vertex_sets_for(bc_dict)
+            if fvs is not None and len(fvs):
+                m = self._subdomains.mesh
+                nodes = np.concatenate(
+                    [np.asarray(nodes, np.int64), _facet_edge_dofs(m, fvs)]
+                )
         coords = self._functionspace.dof_coordinates(subspace_id)[nodes]
         return DirichletBC(
             subspace_id, nodes, bc_dict["bc_value"], coords, ss.value_size, self.dtype
@@ -219,7 +277,16 @@ class BoundaryConditions:
             if fidx is None:
                 logger.warning("von Neumann BC '%s' incomplete -- skipping", bc_name)
                 continue
-            kern = _facet_kernels(m, fidx, n_nodes)
+            ss = self._functionspace.subspaces.get_subspace(subspace_id or 0)
+            if ss.degree == 2:
+                if ss.value_size != 1:
+                    raise NotImplementedError(
+                        "von Neumann BCs on degree-2 vector subspaces are "
+                        "not supported (reference has no such case)"
+                    )
+                kern = _p2_facet_kernels(m, fidx, ss.n_dofs)
+            else:
+                kern = _facet_kernels(m, fidx, n_nodes)
             self.von_neumann_bcs[bc_name] = {
                 "bc_value": bc_dict["bc_value"],
                 "kernels": kern,
@@ -242,8 +309,9 @@ class BoundaryConditions:
             val = bc["bc_value"]
             ss = self._functionspace.subspaces.get_subspace(subspace_id)
             if callable(val):
-                # evaluate at facet nodes: coords (nf, d_nodes, dim)
-                coords = kern.facet_coords
+                # evaluate at the kernel's value points: facet nodes for P1,
+                # facet quadrature points for P2 — coords (nf, k, dim)
+                coords = kern.value_coords
                 v = val(coords.reshape(-1, coords.shape[-1]), t)
                 if ss.value_size == 1:
                     v = jnp.reshape(v, coords.shape[:2])

@@ -198,8 +198,32 @@ class FunctionSpace:
         (helper_classes.py:983-986, fenics.project with cg/amg)."""
         ss = self.subspaces.get_subspace(subspace_id)
         mesh = self.mesh
+        if ss.degree == 2:
+            # true L2 projection onto the P2 space: quadrature RHS + mass-CG
+            # with the exact mass diagonal as Jacobi preconditioner
+            # (reference helper_classes.py:983-986, fenics.project cg/amg)
+            if ss.value_size != 1:
+                raise NotImplementedError("P2 vector projection unsupported")
+            from glimslib_tpu.solvers.cg import pcg
+
+            p2 = self._p2_kernels()
+            if callable(expr):
+                f = lambda coords: self._eval_expression(expr, coords, 1, time)
+                b = p2.project_rhs(f)
+            else:
+                vals = self._eval_expression(
+                    expr, self.dof_coordinates(subspace_id), 1, time
+                )
+                b = p2.mass_residual(jnp.asarray(vals, dtype=p2.dtype))
+            if rtol is None:
+                rtol = 1e-12 if p2.dtype == jnp.float64 else 1e-6
+            diag = p2.mass_diag()
+            x, _ = pcg(
+                p2.mass_residual, b, M=lambda r: r / diag,
+                rtol=rtol, maxiter=maxiter,
+            )
+            return np.asarray(x)
         if ss.degree != 1:
-            # P2 projection via lumped interpolation fallback (TODO: full P2 M)
             return self.interpolate(expr, subspace_id, time)
         qp, qw = simplex_quadrature(mesh.dim, 4)
         vals, _ = P1Element(mesh.dim).tabulate(qp)  # (nq, npe)
@@ -250,6 +274,7 @@ class FunctionSpace:
         }
 
     _kernels_cache = None
+    _p2_kernels_cache = None
 
     def _kernels(self):
         if self._kernels_cache is None:
@@ -257,3 +282,10 @@ class FunctionSpace:
 
             self._kernels_cache = P1Kernels(self.mesh)
         return self._kernels_cache
+
+    def _p2_kernels(self):
+        if self._p2_kernels_cache is None:
+            from glimslib_tpu.ops.p2 import P2Kernels
+
+            self._p2_kernels_cache = P2Kernels(self.mesh)
+        return self._p2_kernels_cache

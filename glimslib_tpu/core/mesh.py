@@ -145,6 +145,11 @@ class Mesh:
     # operator fast path (ops/stencil.py)
     lattice_shape: Optional[tuple] = None
     lattice_strides: Optional[tuple] = None
+    # lazily-populated cache for edges() (frozen dataclass: set via
+    # object.__setattr__; excluded from equality/repr)
+    _edges_cache: Optional[tuple] = dataclasses.field(
+        default=None, compare=False, repr=False
+    )
 
     # -- construction -------------------------------------------------------
 
@@ -226,12 +231,35 @@ class Mesh:
         indexes into edge_nodes.  Local edge ordering follows the convention:
         edge k connects the local vertex pair ``EDGE_VERTICES[dim][k]``.
         """
+        if self._edges_cache is not None:
+            return self._edges_cache
         ev = EDGE_VERTICES[self.dim]
         pairs = self.cells[:, np.asarray(ev)]  # (nc, ne, 2)
         keys = np.sort(pairs.reshape(-1, 2), axis=1)
         uniq, inv = np.unique(keys, axis=0, return_inverse=True)
         cell_edges = inv.reshape(self.n_cells, len(ev)).astype(np.int32)
-        return uniq.astype(np.int32), cell_edges
+        out = (uniq.astype(np.int32), cell_edges)
+        object.__setattr__(self, "_edges_cache", out)
+        return out
+
+    def edge_ids_for_pairs(self, pairs: np.ndarray) -> np.ndarray:
+        """Map (m, 2) vertex-node pairs (either order) to global edge ids.
+
+        Edge ids index into ``edges()[0]``; raises ``KeyError`` if a pair is
+        not an edge of the mesh.  Used to locate P2 edge dofs on boundary
+        facets (Dirichlet/von-Neumann over the quad concentration space,
+        reference helper_classes.py:632-723).
+        """
+        edge_nodes, _ = self.edges()
+        key = np.sort(np.asarray(pairs, dtype=np.int64), axis=1)
+        packed = key[:, 0] * self.n_nodes + key[:, 1]
+        en = edge_nodes.astype(np.int64)
+        epacked = en[:, 0] * self.n_nodes + en[:, 1]  # sorted (np.unique)
+        idx = np.searchsorted(epacked, packed)
+        idx_c = np.clip(idx, 0, len(epacked) - 1)
+        if (epacked[idx_c] != packed).any():
+            raise KeyError("node pair(s) are not mesh edges")
+        return idx_c.astype(np.int32)
 
     # -- transformations ----------------------------------------------------
 

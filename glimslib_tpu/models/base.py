@@ -72,12 +72,16 @@ class Simulation(ABC):
         self.kernels = P1Kernels(mesh, dtype=self.dtype)
         # solver tolerances scale with the working precision: f32 cannot
         # reach the f64 defaults and would spin every loop to maxiter
+        from glimslib_tpu import config as _config
+
         if self.dtype == jnp.float64:
-            self.step_config = StepConfig()
+            self.step_config = StepConfig(
+                precond_degree=_config.precond_degree
+            )
         else:
             self.step_config = StepConfig(
                 newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7,
-                cg_maxiter=1000,
+                cg_maxiter=1000, precond_degree=_config.precond_degree,
             )
 
     # -- multi-chip (replaces mpirun, reference README.md:142-183) ----------

@@ -116,15 +116,16 @@ class TumorGrowth(Simulation):
                 continue
             kern = bc["kernels"]
             q = bc["bc_value"]
-            nfn = self.mesh.dim  # nodes per facet
+            # value points: facet nodes (P1 kernels) or facet quadrature
+            # points (P2 trace kernels) — coords (nf, k, dim)
+            coords = kern.value_coords
             if callable(q):
-                coords = kern.facet_coords
                 qv = jnp.reshape(
                     q(coords.reshape(-1, coords.shape[-1]), t), coords.shape[:2]
                 )
             else:
                 qv = jnp.broadcast_to(
-                    jnp.asarray(q, self.dtype), (kern.n_facets, nfn)
+                    jnp.asarray(q, self.dtype), coords.shape[:2]
                 )
             D = theta["D"]
             if D.ndim == 0:

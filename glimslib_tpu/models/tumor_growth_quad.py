@@ -7,9 +7,11 @@ only the concentration element degree changes to 2
 quadrature-based P2 kernels (ops/p2.py); the elasticity block stays P1 and
 couples to the concentration through its exact per-cell integral.
 
-Limitations matching round-1 scope: Dirichlet/von-Neumann BCs on the P2
-concentration subspace are not supported (none of the reference quad test
-cases use them; displacement BCs are unaffected).
+Dirichlet BCs on the P2 concentration subspace constrain vertex AND
+facet edge-midpoint dofs (core/bcs.py); von-Neumann fluxes integrate over
+the facet trace element by quadrature (ops/p2.py ``P2FacetKernels``);
+initial values are true L2 projections onto the P2 space
+(reference helper_classes.py:983-986).
 """
 
 from __future__ import annotations
@@ -36,10 +38,8 @@ class TumorGrowth(_TumorGrowthP1):
         )
         vn = self._vn_rd_term(theta, t)
         if vn is not None:
-            raise NotImplementedError(
-                "von Neumann BCs on the P2 concentration subspace are not "
-                "supported (no reference quad case uses them)"
-            )
+            # reference scales the flux by dt*D (simulation_tumor_growth.py:120)
+            r = r - theta["dt"] * vn
         return r
 
     def el_residual(self, u, c, theta, t):

@@ -474,6 +474,8 @@ class FacetKernels:
         self.facet_coords = jnp.asarray(
             mesh.points[mesh.boundary_facet_nodes[fidx]], dtype=dtype
         )  # (nf, d, dim)
+        # where callables are evaluated (uniform interface with P2FacetKernels)
+        self.value_coords = self.facet_coords
         self.plan = make_scatter_plan(
             mesh.boundary_facet_nodes[fidx], n_nodes
         )

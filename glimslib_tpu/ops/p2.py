@@ -157,6 +157,13 @@ class P2Kernels:
         floor = jnp.mean(jnp.abs(m)) * 1e-2
         return jnp.where(jnp.abs(m) > floor, jnp.abs(m), floor)
 
+    def mass_diag(self):
+        """Exact mass-matrix diagonal ∫ φ_i² dx — strictly positive, the
+        right Jacobi preconditioner for P2 mass solves (unlike row-sum
+        lumping, whose vertex rows are near zero)."""
+        contrib = jnp.sum(self._wdet()[:, :, None] * self.vals[None] ** 2, axis=1)
+        return self._accumulate(contrib)
+
     def cell_integral(self, c):
         """∫_e c dx per cell (nc,) — feeds the growth-strain coupling."""
         cq = self.at_quad(self.gather(c))
@@ -176,7 +183,100 @@ class P2Kernels:
             return v
         raise ValueError("expected callable or (n_dofs,) array")
 
+    def project_rhs(self, fn_or_values, quad_degree=6):
+        """RHS of the L2 projection: b_i = ∫ f φ_i dx by quadrature.
+
+        ``fn_or_values`` is a callable evaluated at physical quadrature
+        points, or a (n_dofs,) coefficient vector (then b = M f).  Matches
+        the reference's projected IVs (helper_classes.py:983-986,
+        ``fenics.project`` with cg/amg) instead of nodal interpolation.
+        """
+        if not callable(fn_or_values):
+            return self.mass_residual(jnp.asarray(fn_or_values, self.dtype))
+        qp, qw = simplex_quadrature(self.dim, quad_degree)
+        el = P2Element(self.dim)
+        vals, _ = el.tabulate(qp)
+        from glimslib_tpu.core.elements import P1Element
+
+        p1v, _ = P1Element(self.dim).tabulate(qp)  # (nq, d+1)
+        X = self.mesh.points[self.mesh.cells]  # (nc, d+1, dim)
+        xq = np.sum(p1v[None, :, :, None] * X[:, None, :, :], axis=2)
+        fq = np.asarray(fn_or_values(xq.reshape(-1, self.dim)), dtype=np.float64)
+        fq = fq.reshape(self.n_cells, len(qw))
+        wdet = qw[None, :] * np.asarray(self.detJ)[:, None]
+        contrib = jnp.asarray(
+            np.sum((wdet * fq)[:, :, None] * vals[None], axis=1), self.dtype
+        )
+        return self._accumulate(contrib)
+
     def vertex_part(self, c):
         """Restrict a P2 coefficient vector to its vertex dofs (for plotting
         and P1-based postprocessing)."""
         return c[: self.n_nodes]
+
+
+class P2FacetKernels:
+    """Surface-integral kernels for a P2 scalar field on selected exterior
+    facets: ∫_Γ q φ_i ds by facet quadrature on the trace element.
+
+    The restriction of the cell P2 basis to a facet IS the P2 element of the
+    (d-1)-simplex, with facet dofs = facet vertices + facet-edge midpoints —
+    so the kernels tabulate :class:`P2Element(dim-1)` at facet quadrature
+    points.  Replaces the reference's UFL ``q*v*ds`` terms for the quad
+    models (helper_classes.py:861-908; previously NotImplemented here).
+    """
+
+    def __init__(self, mesh, facet_idx: np.ndarray, n_dofs: int, dtype=jnp.float64):
+        from glimslib_tpu.core.elements import P1Element
+        from glimslib_tpu.core.mesh import EDGE_VERTICES
+
+        d = mesh.dim
+        if d < 2:
+            raise ValueError("P2 facet kernels need dim >= 2")
+        self.dim = d
+        self.dtype = dtype
+        fidx = np.asarray(facet_idx, dtype=np.int64)
+        self.n_facets = len(fidx)
+        fnodes = mesh.boundary_facet_nodes[fidx]  # (nf, d) vertex ids
+        self.facet_area = jnp.asarray(mesh.boundary_facet_area[fidx], dtype=dtype)
+
+        # facet dof map ordered like P2Element(d-1): vertices then edges
+        fev = EDGE_VERTICES[d - 1]
+        if self.n_facets:
+            pairs = np.concatenate([fnodes[:, list(p)] for p in fev], axis=0)
+            eids = mesh.edge_ids_for_pairs(pairs)
+            eids = eids.reshape(len(fev), self.n_facets).T  # (nf, ne_facet)
+        else:
+            eids = np.zeros((0, len(fev)), dtype=np.int32)
+        facet_dofs = np.concatenate(
+            [fnodes, mesh.n_nodes + eids], axis=1
+        ).astype(np.int64)  # (nf, nfd)
+        self.facet_dofs = facet_dofs
+        self.plan = make_scatter_plan(facet_dofs, n_dofs)
+
+        qp, qw = simplex_quadrature(d - 1, 4)
+        vals, _ = P2Element(d - 1).tabulate(qp)  # (nq, nfd)
+        self.qw = jnp.asarray(qw * math.factorial(d - 1), dtype)  # sums to 1
+        self.vals = jnp.asarray(vals, dtype)
+        self.n_quad = len(qw)
+        # physical quadrature coordinates (affine facet): (nf, nq, dim)
+        p1v, _ = P1Element(d - 1).tabulate(qp)  # (nq, d)
+        X = mesh.points[fnodes]  # (nf, d, dim)
+        self.value_coords = jnp.asarray(
+            np.sum(p1v[None, :, :, None] * X[:, None, :, :], axis=2), dtype
+        )
+
+    def scalar_flux_residual(self, q):
+        """∫_Γ q φ_i ds with q constant, per-facet (nf,), or per-facet-
+        quad-point (nf, nq).  Returns (n_dofs,)."""
+        q = jnp.asarray(q, self.dtype)
+        if q.ndim <= 1:
+            qq = jnp.broadcast_to(
+                q[..., None] if q.ndim == 1 else q,
+                (self.n_facets, self.n_quad),
+            )
+        else:
+            qq = q
+        w = self.facet_area[:, None] * self.qw[None, :] * qq  # (nf, nq)
+        contrib = jnp.sum(w[:, :, None] * self.vals[None], axis=1)  # (nf, nfd)
+        return scatter(self.plan, contrib.reshape(-1))

@@ -61,6 +61,68 @@ def pcg(A, b, x0=None, M=None, rtol=1e-10, atol=0.0, maxiter=500):
     return x, {"iters": k, "resnorm": jnp.sqrt(_dot(r, r))}
 
 
+def estimate_lmax(A, Minner, shape_like, dtype, iters=12, safety=1.1):
+    """Largest eigenvalue of the preconditioned operator M⁻¹A (M = Jacobi or
+    block-Jacobi) by power iteration with a deterministic start vector; runs
+    traced inside jit.
+
+    The estimate parameterizes the Chebyshev preconditioner only — it never
+    affects the solution CG converges to — so it is wrapped in
+    ``stop_gradient``."""
+    n = 1
+    for s in shape_like:
+        n *= s
+    v0 = jnp.sin(jnp.arange(n, dtype=dtype) * 0.7 + 0.3).reshape(shape_like)
+    v0 = v0 / jnp.sqrt(_dot(v0, v0))
+
+    def body(v, _):
+        w = Minner(A(v))
+        nrm = jnp.sqrt(_dot(w, w))
+        return w / jnp.maximum(nrm, 1e-300), nrm
+
+    _, nrms = jax.lax.scan(body, v0, None, length=iters)
+    return jax.lax.stop_gradient(nrms[-1] * safety)
+
+
+def make_chebyshev_precond(A, Minner, lmax, degree, lmin_factor=1.0 / 30.0):
+    """Chebyshev polynomial preconditioner z = p_k(M⁻¹A) M⁻¹ r.
+
+    Fixed-degree Chebyshev iteration targeting the interval
+    [lmin_factor·lmax, lmax] of the M⁻¹A spectrum (the classic AMG
+    polynomial smoother; Saad, Iterative Methods, alg. 12.1).  ``Minner``
+    applies the inner (Jacobi or block-Jacobi) preconditioner.  A fixed
+    polynomial in A composed with a symmetric M is itself a symmetric
+    positive-definite preconditioner, so plain (non-flexible) CG stays
+    valid.  Replaces PETSc's amg/lu preconditioners (reference
+    brain_quad.py:116-119) with pure streaming matvecs — the TPU-idiomatic
+    way to cut CG iteration counts (each preconditioner application costs
+    ``degree-1`` extra matvecs but removes the per-iteration loop/reduction
+    overhead of many CG steps).
+    """
+    lmin = lmin_factor * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma1 = theta / delta
+
+    def M(r):
+        z = Minner(r) / theta
+        d = z
+        rho = 1.0 / sigma1
+
+        def body(carry, _):
+            z, d, rho = carry
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            resid = Minner(r - A(z))
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * resid
+            z = z + d
+            return (z, d, rho_new), None
+
+        (z, _, _), _ = jax.lax.scan(body, (z, d, rho), None, length=degree - 1)
+        return z
+
+    return M
+
+
 def cg_fixed_iters(A, b, x0=None, M=None, iters=50):
     """CG with a fixed iteration count (scan) — reverse-mode differentiable,
     used where a solve must sit inside ``jax.grad`` without custom_vjp."""

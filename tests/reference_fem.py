@@ -301,3 +301,268 @@ class ReferenceFEM:
         out = np.zeros(self.mesh.n_nodes)
         np.add.at(out, self.mesh.cells.ravel(), loc.ravel())
         return out
+
+
+# ---------------------------------------------------------------------------
+# P2 (quadratic) concentration reference — parity harness for the quad models
+# ---------------------------------------------------------------------------
+
+
+def _gauss_simplex(dim, degree):
+    """Collapsed Gauss-Legendre product rule on the unit simplex, exact to
+    ``degree`` (independent construction: barycentric recursion over 1D
+    Gauss rules, not the production code's Duffy-variable form)."""
+    n1 = degree // 2 + dim + 1
+    x, w = np.polynomial.legendre.leggauss(n1)
+    x = 0.5 * (x + 1.0)
+    w = 0.5 * w
+    if dim == 1:
+        return x[:, None], w
+    # recursive: xi_d scaled into remaining simplex
+    sub_qp, sub_qw = _gauss_simplex(dim - 1, degree + n1)
+    pts, wts = [], []
+    for xi, wi in zip(x, w):
+        scale = 1.0 - xi
+        for p, wp in zip(sub_qp, sub_qw):
+            pts.append(np.concatenate([[xi], scale * p]))
+            wts.append(wi * wp * scale ** (dim - 1))
+    return np.asarray(pts), np.asarray(wts)
+
+
+def _p2_tabulate(dim, qp, edge_pairs):
+    """P2 Lagrange basis values/ref-gradients at qp, vertex dofs then edge
+    dofs ordered by ``edge_pairs`` (local vertex index pairs)."""
+    nq = qp.shape[0]
+    nv = dim + 1
+    lam = np.concatenate([(1.0 - qp.sum(axis=1))[:, None], qp], axis=1)
+    dlam = np.zeros((nv, dim))
+    dlam[0] = -1.0
+    for a in range(dim):
+        dlam[a + 1, a] = 1.0
+    nd = nv + len(edge_pairs)
+    vals = np.zeros((nq, nd))
+    grads = np.zeros((nq, nd, dim))
+    for i in range(nv):
+        vals[:, i] = lam[:, i] * (2 * lam[:, i] - 1)
+        grads[:, i] = (4 * lam[:, i] - 1)[:, None] * dlam[i]
+    for e, (a, b) in enumerate(edge_pairs):
+        vals[:, nv + e] = 4 * lam[:, a] * lam[:, b]
+        grads[:, nv + e] = (
+            lam[:, a][:, None] * dlam[b] + lam[:, b][:, None] * dlam[a]
+        ) * 4
+    return vals, grads
+
+
+class ReferenceFEMP2(ReferenceFEM):
+    """Sparse-matrix FEM with quadratic (P2) concentration + P1 elasticity.
+
+    Parity harness for the quad model family (reference
+    simulation_tumor_growth_quad.py:69: only the concentration element
+    degree changes).  Global P2 dof layout matches the production path by
+    construction: [vertices | edge midpoints], edge ids from
+    ``Mesh.edges()`` (the topological enumeration both sides share), but
+    assembly here is classic scipy COO + spsolve.
+    """
+
+    def __init__(self, mesh, quad_degree=6):
+        super().__init__(mesh)
+        from glimslib_tpu.core.mesh import EDGE_VERTICES
+
+        edge_nodes, cell_edges = mesh.edges()
+        self.n_edges = len(edge_nodes)
+        self.n_dofs2 = mesh.n_nodes + self.n_edges
+        self.cell_dofs2 = np.concatenate(
+            [mesh.cells, mesh.n_nodes + cell_edges], axis=1
+        ).astype(np.int64)
+        self.npe2 = self.cell_dofs2.shape[1]
+        self.qp2, self.qw2 = _gauss_simplex(mesh.dim, quad_degree)
+        self.vals2, rg = _p2_tabulate(mesh.dim, self.qp2, EDGE_VERTICES[mesh.dim])
+        # physical gradients per cell: d xi_a / dx = grad(lambda_{a+1})
+        A = mesh.cell_grads[:, 1:, :]  # (nc, d, d)
+        self.pgrads2 = np.einsum("qia,cad->cqid", rg, A)
+        self.dof_coords2 = np.concatenate(
+            [mesh.points, mesh.points[edge_nodes].mean(axis=1)], axis=0
+        )
+
+    def _coo2(self, local):
+        cd = self.cell_dofs2
+        rows = np.repeat(cd, self.npe2, axis=1).ravel()
+        cols = np.tile(cd, (1, self.npe2)).ravel()
+        A = sp.coo_matrix(
+            (local.ravel(), (rows, cols)), shape=(self.n_dofs2, self.n_dofs2)
+        )
+        return A.tocsr()
+
+    def mass_matrix2(self):
+        local = np.einsum("q,qi,qj->ij", self.qw2, self.vals2, self.vals2)
+        return self._coo2(self.detJ[:, None, None] * local[None])
+
+    def stiffness_matrix2(self, D_cell=1.0):
+        D = np.broadcast_to(np.asarray(D_cell, float), (self.mesh.n_cells,))
+        loc = np.einsum(
+            "c,q,cqid,cqjd->cij", D * self.detJ, self.qw2, self.pgrads2, self.pgrads2
+        )
+        return self._coo2(loc)
+
+    def mass_matrix_weighted_cell2(self, w_cell):
+        local = np.einsum("q,qi,qj->ij", self.qw2, self.vals2, self.vals2)
+        return self._coo2((w_cell * self.detJ)[:, None, None] * local[None])
+
+    def weighted_mass_matrix_cellrho2(self, c, rho_cell):
+        cq = c[self.cell_dofs2] @ self.vals2.T  # (nc, nq)
+        loc = np.einsum(
+            "c,cq,q,qi,qj->cij",
+            rho_cell * self.detJ, cq, self.qw2, self.vals2, self.vals2,
+        )
+        return self._coo2(loc)
+
+    def quadratic_load_weighted_cell2(self, c, rho_cell):
+        cq = c[self.cell_dofs2] @ self.vals2.T
+        loc = np.einsum(
+            "c,cq,q,qi->ci", rho_cell * self.detJ, cq**2, self.qw2, self.vals2
+        )
+        out = np.zeros(self.n_dofs2)
+        np.add.at(out, self.cell_dofs2.ravel(), loc.ravel())
+        return out
+
+    def load_vector2(self, f_cell=1.0):
+        f = np.broadcast_to(np.asarray(f_cell, float), (self.mesh.n_cells,))
+        loc = np.einsum("c,q,qi->ci", f * self.detJ, self.qw2, self.vals2)
+        out = np.zeros(self.n_dofs2)
+        np.add.at(out, self.cell_dofs2.ravel(), loc.ravel())
+        return out
+
+    def boundary_flux_vector2(self, facet_idx, q=1.0):
+        """∫_Γ q φ_i ds over the selected boundary facets, exact closed
+        forms for constant q (2D segment: L(1/6, 1/6, 2/3); 3D triangle:
+        vertices 0, edges A/3)."""
+        m = self.mesh
+        fidx = np.asarray(facet_idx, int)
+        fnodes = m.boundary_facet_nodes[fidx]
+        area = m.boundary_facet_area[fidx]
+        q = np.broadcast_to(np.asarray(q, float), (len(fidx),))
+        out = np.zeros(self.n_dofs2)
+        if m.dim == 2:
+            eid = m.edge_ids_for_pairs(fnodes)
+            np.add.at(out, fnodes[:, 0], q * area / 6.0)
+            np.add.at(out, fnodes[:, 1], q * area / 6.0)
+            np.add.at(out, m.n_nodes + eid, q * area * 2.0 / 3.0)
+        else:
+            pairs = np.concatenate(
+                [fnodes[:, [1, 2]], fnodes[:, [0, 2]], fnodes[:, [0, 1]]], axis=0
+            )
+            eids = m.edge_ids_for_pairs(pairs).reshape(3, len(fidx)).T
+            for k in range(3):
+                np.add.at(out, m.n_nodes + eids[:, k], q * area / 3.0)
+        return out
+
+    def coupling_matrix_p2(self, mu_cell, lam_cell, coupling):
+        """C[(i,a), j] = k(2μ+dλ) ∫ φ²_j div(φ_i e_a) dx with P2 column
+        space: div(φ_i e_a) = g_i[a] constant, so entries are
+        fac · g_i[a] · ∫_e φ²_j dx."""
+        m = self.mesh
+        d = self.dim
+        mu = np.broadcast_to(np.asarray(mu_cell, float), (m.n_cells,))
+        lam = np.broadcast_to(np.asarray(lam_cell, float), (m.n_cells,))
+        fac = coupling * (2 * mu + d * lam)
+        wj = np.einsum("c,q,qj->cj", self.detJ, self.qw2, self.vals2)  # (nc, npe2)
+        npe = self.npe
+        ii, aa, jj = np.meshgrid(
+            np.arange(npe), np.arange(d), np.arange(self.npe2), indexing="ij"
+        )
+        rows = (m.cells[:, ii] * d + aa).ravel()
+        cols = self.cell_dofs2[:, jj].ravel()
+        vals = (
+            fac[:, None, None, None] * self.grads[:, ii, aa] * wj[:, jj]
+        ).ravel()
+        C = sp.coo_matrix(
+            (vals, (rows, cols)), shape=(m.n_nodes * d, self.n_dofs2)
+        )
+        return C.tocsr()
+
+    def solve_step2(
+        self,
+        u_prev,
+        c_prev,
+        D_cell,
+        rho_cell,
+        mu_cell,
+        lam_cell,
+        coupling,
+        dt,
+        dirichlet_disp_nodes=None,
+        dirichlet_disp_values=None,
+        dirichlet_conc_dofs=None,
+        dirichlet_conc_values=None,
+        flux_facets=None,
+        flux_value=0.0,
+        flux_D_scaled=True,
+        newton_tol=1e-12,
+        max_newton=30,
+    ):
+        """One implicit-Euler step with P2 concentration: Newton + spsolve
+        on the c-block, then P1 elasticity with the P2 coupling column."""
+        m = self.mesh
+        d = self.dim
+        M = self.mass_matrix2()
+        K = self.stiffness_matrix2(D_cell)
+        rho = np.broadcast_to(np.asarray(rho_cell, float), (m.n_cells,))
+        Mrho = self.mass_matrix_weighted_cell2(rho)
+
+        cdn = (
+            np.asarray(dirichlet_conc_dofs, int)
+            if dirichlet_conc_dofs is not None
+            else np.zeros(0, int)
+        )
+        cdv = (
+            np.asarray(dirichlet_conc_values, float)
+            if dirichlet_conc_values is not None
+            else np.zeros(0)
+        )
+        g = np.zeros(self.n_dofs2)
+        if flux_facets is not None and len(flux_facets):
+            # reference scales the surface flux by D (and the step by dt)
+            qv = flux_value
+            if flux_D_scaled:
+                Dfacet = np.broadcast_to(
+                    np.asarray(D_cell, float), (m.n_cells,)
+                )[m.boundary_facet_cell[np.asarray(flux_facets, int)]]
+                qv = qv * Dfacet
+            g = self.boundary_flux_vector2(flux_facets, qv)
+
+        c = c_prev.copy()
+        b_const = M @ c_prev + dt * g
+        for _ in range(max_newton):
+            Nc = self.quadratic_load_weighted_cell2(c, rho)
+            R = M @ c - dt * (Mrho @ c - Nc) + dt * (K @ c) - b_const
+            J = M + dt * K - dt * (
+                Mrho - 2 * self.weighted_mass_matrix_cellrho2(c, rho)
+            )
+            if len(cdn):
+                R[cdn] = c[cdn] - cdv
+                J = J.tolil()
+                J[cdn, :] = 0
+                J[cdn, cdn] = 1.0
+                J = J.tocsr()
+            if np.linalg.norm(R) < newton_tol:
+                break
+            dc = spla.spsolve(J.tocsc(), -R)
+            c = c + dc
+
+        Ku = self.elasticity_matrix(mu_cell, lam_cell)
+        C = self.coupling_matrix_p2(mu_cell, lam_cell, coupling)
+        rhs = C @ c
+        if dirichlet_disp_nodes is not None:
+            ddofs = (
+                np.asarray(dirichlet_disp_nodes, int)[:, None] * d + np.arange(d)
+            ).ravel()
+            dvals = np.asarray(dirichlet_disp_values, float).ravel()
+            Ku = Ku.tolil()
+            rhs = rhs - Ku[:, ddofs] @ dvals if len(ddofs) else rhs
+            rhs[ddofs] = dvals
+            Ku[ddofs, :] = 0
+            Ku[:, ddofs] = 0
+            Ku[ddofs, ddofs] = 1.0
+            Ku = Ku.tocsr()
+        u = spla.spsolve(Ku.tocsc(), rhs)
+        return u.reshape(m.n_nodes, d), c
