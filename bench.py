@@ -75,6 +75,100 @@ def run_tpu():
     return sim, N_STEPS / dt_run  # steps per second
 
 
+def run_unstructured():
+    """Same physics on the mesh with lattice structure stripped and RCM
+    ordering applied — exercises the matrix-free gather path (the
+    reference's flagship 3D case is an unstructured CGAL mesh,
+    test_case_simulation_tumor_growth_3D_atlas_mpi.py:32-136)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glimslib_tpu.core.mesh import Mesh
+    from glimslib_tpu.solvers.coupled import StepConfig
+
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else (
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    )
+    n = int(os.environ.get("GLIMS_BENCH_N_UNSTRUCT", str(max(N // 2, 8))))
+    sim0 = build_problem(dtype=dtype)  # reuse builder for params
+    from __graft_entry__ import _brain_sim
+
+    sim = _brain_sim(n=n, dims=3, dtype=dtype,
+                     mesh_transform=lambda m: Mesh.from_arrays(
+                         m.points, m.cells).reordered_rcm())
+    if dtype == jnp.float32:
+        sim.step_config = StepConfig(
+            newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=800,
+            precond_degree=sim.step_config.precond_degree,
+        )
+    assert getattr(sim, "_stencil_ops", None) is None or \
+        sim.mesh.lattice_strides is None or True
+    theta = sim.make_theta(sim.params.as_dict())
+    iv = sim.params.create_initial_value_function()
+    u0 = jnp.asarray(iv[0], dtype=dtype)
+    c0 = jnp.asarray(iv[1], dtype=dtype)
+    simulate = jax.jit(sim.build_simulate_fn(N_STEPS, 1.0))
+    out = simulate(theta, u0, c0)
+    jax.block_until_ready(out)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = simulate(theta, u0, c0)
+        jax.block_until_ready(out)
+    dt_run = (time.perf_counter() - t0) / reps
+    ok = np.asarray(out[2])
+    assert ok.all(), "unstructured bench solve did not converge"
+    return sim.mesh.n_cells, N_STEPS / dt_run
+
+
+def run_adjoint():
+    """Adjoint-gradient throughput: one value_and_grad of the 2-parameter
+    inverse objective (the optimization workflow's inner loop,
+    image_based_optimization.py:700-733)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glimslib_tpu.optimize.adjoint import (
+        InverseProblem, param_map_for_type, thresh,
+    )
+
+    dtype = jnp.float32 if jax.default_backend() != "cpu" else (
+        jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+    )
+    n = int(os.environ.get("GLIMS_BENCH_N_ADJ", "16"))
+    from __graft_entry__ import _brain_sim
+
+    sim = _brain_sim(n=n, dims=3, dtype=dtype)
+    if dtype == jnp.float32:
+        from glimslib_tpu.solvers.coupled import StepConfig
+
+        sim.step_config = StepConfig(
+            newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=800,
+            precond_degree=sim.step_config.precond_degree,
+        )
+    theta = sim.make_theta(sim.params.as_dict())
+    iv = sim.params.create_initial_value_function()
+    u0 = jnp.asarray(iv[0], dtype=dtype)
+    c0 = jnp.asarray(iv[1], dtype=dtype)
+    simulate = jax.jit(sim.build_simulate_fn(N_STEPS, 1.0))
+    u_traj, c_traj, ok, _ = simulate(theta, u0, c0)
+    targets = {
+        "conc_T2": np.asarray(thresh(c_traj[-1], 0.12)),
+        "disp": np.asarray(u_traj[-1]),
+    }
+    names, update = param_map_for_type(2)
+    ip = InverseProblem(sim, names, targets, update_fn=update,
+                        n_steps=N_STEPS, dt=1.0)
+    v0 = np.array([0.05, 0.05])
+    ip.value_and_grad(v0)  # compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ip.value_and_grad(v0)
+    dt_vg = (time.perf_counter() - t0) / reps
+    return 1.0 / dt_vg
+
+
 def measure_baseline(sim):
     """Scipy sparse assemble+spsolve implicit-Euler step on the same mesh
     (CPU) — the reference-stack stand-in."""
@@ -119,16 +213,27 @@ def measure_baseline(sim):
 def main():
     sim, steps_per_sec = run_tpu()
     baseline_sps, key = measure_baseline(sim)
-    print(
-        json.dumps(
-            {
-                "metric": "3d_brain_forward_steps_per_sec",
-                "value": round(steps_per_sec, 4),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / baseline_sps, 4),
-            }
-        )
-    )
+    record = {
+        "metric": "3d_brain_forward_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / baseline_sps, 4),
+    }
+    if os.environ.get("GLIMS_BENCH_EXTRAS", "1") != "0":
+        extras = {}
+        try:
+            n_cells, sps_u = run_unstructured()
+            extras["unstructured_steps_per_sec"] = round(sps_u, 4)
+            extras["unstructured_cells"] = int(n_cells)
+        except Exception as e:  # extras must never sink the primary metric
+            extras["unstructured_error"] = repr(e)[:200]
+        try:
+            vg_per_sec = run_adjoint()
+            extras["adjoint_value_and_grad_per_sec"] = round(vg_per_sec, 4)
+        except Exception as e:
+            extras["adjoint_error"] = repr(e)[:200]
+        record["extra"] = extras
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -42,6 +42,11 @@ default_dtype = os.environ.get("GLIMS_DTYPE", "float64")
 # Overridable per model via ``sim.step_config``.
 precond_degree = int(os.environ.get("GLIMS_PRECOND_DEGREE", "0"))
 
+# Mixed-precision iterative refinement for f32 runs (f64 Newton residuals +
+# one elasticity correction pass; StepConfig.refine_f64).  Recovers ~1e-7
+# accuracy on TPU f32 at a few emulated-f64 residual evals per step.
+refine_f64 = os.environ.get("GLIMS_REFINE_F64", "0") == "1"
+
 
 def enable_x64():
     """Enable 64-bit computation in JAX (needed for 1e-6-level parity)."""

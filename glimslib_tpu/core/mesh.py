@@ -263,6 +263,26 @@ class Mesh:
 
     # -- transformations ----------------------------------------------------
 
+    def reordered_rcm(self) -> "Mesh":
+        """Reverse-Cuthill-McKee-reordered copy (nodes relabelled, cells
+        sorted by first node).
+
+        Clusters every cell's nodes in index space, so the matrix-free
+        gather path touches banded memory regions: on the v5e, ``jnp.take``
+        runs ~2.5-3x faster with banded indices than with random ones.  Use
+        on unstructured (non-lattice) meshes before building a model; all
+        fields/outputs are consistently in the new node order.  Lattice
+        meshes should NOT be reordered (the offset-stencil fast path needs
+        lattice node order).
+        """
+        from glimslib_tpu.native.meshops import rcm_permutation
+
+        perm = np.asarray(rcm_permutation(self.cells, self.n_nodes))
+        order = np.argsort(perm)  # order[new] = old
+        cells = perm[self.cells].astype(np.int32)
+        cells = cells[np.argsort(cells.min(axis=1), kind="stable")]
+        return Mesh.from_arrays(self.points[order], cells)
+
     def moved(self, displacement: np.ndarray) -> "Mesh":
         """Return a new mesh with vertices moved by ``displacement``
         (n_nodes, dim).  Replacement for ``fenics.ALE.move``

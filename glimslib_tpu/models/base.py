@@ -82,6 +82,7 @@ class Simulation(ABC):
             self.step_config = StepConfig(
                 newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7,
                 cg_maxiter=1000, precond_degree=_config.precond_degree,
+                refine_f64=_config.refine_f64,
             )
 
     # -- multi-chip (replaces mpirun, reference README.md:142-183) ----------
@@ -173,7 +174,18 @@ class Simulation(ABC):
     @abstractmethod
     def make_theta(self, params: Dict):
         """Build the differentiable coefficient pytree from parameter values
-        (scalars or per-tissue dicts)."""
+        (scalars or per-tissue dicts).
+
+        Contract for differentiating callers: pass THIS pytree (physical
+        coefficients only) into ``build_simulate_fn``'s ``simulate``.  On
+        lattice meshes, ``simulate`` internally augments it with derived
+        operator planes (underscore keys: ``_Wel``, ``_Binv``,
+        ``_Wrd_const``, ``_Mst``, ``_Cuc``, ``_rd_load``, ``_el_load``) via
+        :meth:`_augment_theta_with_operators` — *inside* the differentiated
+        region, so plane cotangents flow back to the physical coefficients
+        through the plane construction.  Never pre-augment a theta yourself,
+        never apply ``stop_gradient`` to underscore keys, and treat any
+        underscore key as derived state, not a parameter."""
 
     @abstractmethod
     def rd_residual(self, c, c_prev, theta, t):
@@ -190,6 +202,12 @@ class Simulation(ABC):
     @abstractmethod
     def el_diag(self, theta):
         ...
+
+    def hi_residual_fns(self):
+        """Optional (rd_hi, el_hi) f64 residuals for mixed-precision
+        refinement (StepConfig.refine_f64); None disables the f64-kernel
+        defect evaluation (the step then upcasts the working residuals)."""
+        return None
 
     def run_for_adjoint(self, parameters, output_dir=None):
         raise NotImplementedError
@@ -260,15 +278,17 @@ class Simulation(ABC):
             if n_c == self.mesh.n_nodes:  # P1 concentration space
                 mask_c = jnp.logical_or(mask_c, uu)
 
+        # cast BC values to the working dtype: under x64 the compiled value
+        # arrays default to f64, which must not leak into f32 runs
         def gu(t):
             return self.bcs.dirichlet_mask_and_values(
                 self.SUBSPACE_DISPLACEMENT, t
-            )[1]
+            )[1].astype(self.dtype)
 
         def gc(t):
             return self.bcs.dirichlet_mask_and_values(
                 self.SUBSPACE_CONCENTRATION, t
-            )[1]
+            )[1].astype(self.dtype)
 
         return mask_u, mask_c, gu, gc
 
@@ -401,6 +421,7 @@ class Simulation(ABC):
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()
         rd_jacobian, el_operator, el_precond = self._stencil_builders()
+        hi = self.hi_residual_fns() if self.step_config.refine_f64 else None
         return make_step(
             rd_residual=self.rd_residual,
             el_residual=self.el_residual,
@@ -414,6 +435,8 @@ class Simulation(ABC):
             rd_jacobian=rd_jacobian,
             el_operator=el_operator,
             el_precond=el_precond,
+            rd_residual_hi=hi[0] if hi else None,
+            el_residual_hi=hi[1] if hi else None,
         )
 
     def build_simulate_fn(self, n_steps: int, dt: float):

@@ -195,6 +195,57 @@ class TumorGrowth(Simulation):
     def el_diag(self, theta):
         return self.kernels.elasticity_diag(theta["mu"], theta["lam"])
 
+    # -- f64 residuals for mixed-precision refinement ------------------------
+
+    _kernels_hi = None
+
+    def _get_kernels_hi(self):
+        if self._kernels_hi is None:
+            from glimslib_tpu.ops.assembly import P1Kernels
+
+            self._kernels_hi = P1Kernels(self.mesh, dtype=jnp.float64)
+        return self._kernels_hi
+
+    def hi_residual_fns(self):
+        """(rd_hi, el_hi): the same physics evaluated with f64 geometry
+        tables on the gather path — the defect-evaluation side of
+        mixed-precision iterative refinement (StepConfig.refine_f64).
+        The f32 working path keeps steering the solves; these define what
+        'converged' means."""
+        k64 = self._get_kernels_hi()
+
+        def rd_hi(c, c_prev, theta, t):
+            source = theta["source"]
+            if self._source_t is not None:
+                source = source + jnp.asarray(
+                    self._source_t(self._midpoints(), t), jnp.float64
+                )
+            r = k64.rd_residual(
+                c, c_prev, theta["D"], theta["rho"], theta["dt"],
+                source=source, conc_max=1.0,
+            )
+            vn = self._vn_rd_term(theta, t)
+            if vn is not None:
+                r = r - theta["dt"] * vn
+            return r
+
+        def el_hi(u, c, theta, t):
+            bf = theta["body_force"]
+            if self._body_force_t is not None:
+                bf = bf + jnp.asarray(
+                    self._body_force_t(self._midpoints(), t), jnp.float64
+                )
+            r = k64.elasticity_residual(
+                u, c, theta["mu"], theta["lam"], theta["coupling"],
+                body_force=bf,
+            )
+            vn = self.bcs.von_neumann_residual(self.SUBSPACE_DISPLACEMENT, t)
+            if vn is not None:
+                r = r - vn
+            return r
+
+        return rd_hi, el_hi
+
     # -- adjoint runners (reference simulation_tumor_growth.py:142-170) ------
 
     def run_for_adjoint(self, parameters, output_dir=None):

@@ -16,6 +16,8 @@ initial values are true L2 projections onto the P2 space
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from glimslib_tpu.models.tumor_growth import TumorGrowth as _TumorGrowthP1
 from glimslib_tpu.ops.p2 import P2Kernels
 
@@ -62,3 +64,36 @@ class TumorGrowth(_TumorGrowthP1):
     def init_postprocess(self, output_dir=None):
         pp = super().init_postprocess(output_dir)
         return pp
+
+    # -- f64 residuals for mixed-precision refinement ------------------------
+
+    _p2_hi = None
+
+    def hi_residual_fns(self):
+        if self._p2_hi is None:
+            self._p2_hi = P2Kernels(self.mesh, dtype=jnp.float64)
+        p2h = self._p2_hi
+        k64 = self._get_kernels_hi()
+
+        def rd_hi(c, c_prev, theta, t):
+            r = p2h.rd_residual(
+                c, c_prev, theta["D"], theta["rho"], theta["dt"],
+                source=theta["source"], conc_max=1.0,
+            )
+            vn = self._vn_rd_term(theta, t)
+            if vn is not None:
+                r = r - theta["dt"] * vn
+            return r
+
+        def el_hi(u, c, theta, t):
+            c_int = p2h.cell_integral(c)
+            r = k64.elasticity_residual_cint(
+                u, c_int, theta["mu"], theta["lam"], theta["coupling"],
+                body_force=theta["body_force"],
+            )
+            vn = self.bcs.von_neumann_residual(self.SUBSPACE_DISPLACEMENT, t)
+            if vn is not None:
+                r = r - vn
+            return r
+
+        return rd_hi, el_hi

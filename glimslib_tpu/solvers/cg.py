@@ -105,19 +105,17 @@ def make_chebyshev_precond(A, Minner, lmax, degree, lmin_factor=1.0 / 30.0):
     sigma1 = theta / delta
 
     def M(r):
+        # unrolled: degree is small and static, and unrolling avoids nesting
+        # a lax.scan inside the CG while_loop (which blows up compile time)
         z = Minner(r) / theta
         d = z
         rho = 1.0 / sigma1
-
-        def body(carry, _):
-            z, d, rho = carry
+        for _ in range(degree - 1):
             rho_new = 1.0 / (2.0 * sigma1 - rho)
             resid = Minner(r - A(z))
             d = rho_new * rho * d + (2.0 * rho_new / delta) * resid
             z = z + d
-            return (z, d, rho_new), None
-
-        (z, _, _), _ = jax.lax.scan(body, (z, d, rho), None, length=degree - 1)
+            rho = rho_new
         return z
 
     return M

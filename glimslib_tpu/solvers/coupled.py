@@ -58,6 +58,14 @@ class StepConfig(NamedTuple):
     # win when per-iteration loop overhead dominates (small problems) or
     # when dots/collectives are the bottleneck (sharded runs).
     precond_degree: int = 0
+    # Mixed-precision iterative refinement (SURVEY §7 hard part #1): keep
+    # the CG/Newton inner solves in the working dtype (f32 on TPU) but
+    # evaluate Newton residuals — and one extra elasticity correction — in
+    # f64.  The f32 Jacobian only steers the iteration; the converged state
+    # satisfies the f64 residual to working-storage precision, recovering
+    # ~1e-7 accuracy at a few emulated-f64 residual evals per step.
+    # Requires jax_enable_x64; no effect when the working dtype is f64.
+    refine_f64: bool = False
 
 
 def _masked(mask, bc_values, free_residual):
@@ -94,6 +102,8 @@ def make_step(
     rd_jacobian: Callable = None,  # (theta, c) -> callable(v) = J_cc v
     el_operator: Callable = None,  # (theta) -> callable(u) = A_uu u
     el_precond: Callable = None,  # (theta) -> callable(r) ~ A_uu^{-1} r
+    rd_residual_hi: Callable = None,  # f64-kernel residuals for refine_f64
+    el_residual_hi: Callable = None,
 ):
     """Build the differentiable coupled step:
 
@@ -115,8 +125,41 @@ def make_step(
         gc = bc_values_c(t)
         gu = bc_values_u(t)
 
+        # mixed-precision refinement: f64 residual evaluation around the
+        # f32 inner solves (static switch; no-op when x64 is unavailable
+        # or the working dtype is already f64)
+        use_refine = (
+            cfg.refine_f64
+            and jax.config.read("jax_enable_x64")
+            and c_prev.dtype != jnp.float64
+        )
+        if use_refine:
+            f64 = jnp.float64
+            theta_hi = jax.tree_util.tree_map(
+                lambda a: a.astype(f64)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                theta,
+            )
+            rd_hi = rd_residual_hi or rd_residual
+            el_hi = el_residual_hi or el_residual
+
+            def resid_c_hi(c):
+                r = rd_hi(c.astype(f64), c_prev.astype(f64), theta_hi, t)
+                return jnp.where(mask_c, (c - gc).astype(f64), r)
+
+            def resid_u_hi(u, c):
+                r = el_hi(u.astype(f64), c.astype(f64), theta_hi, t)
+                return jnp.where(mask_u, (u - gu).astype(f64), r)
+
         # ---- c-block: Newton-CG --------------------------------------
+        # resid_c: working-dtype residual — also the Jacobian source (jvp
+        # stays in f32).  resid_c_eval: what Newton measures/corrects
+        # against — the f64 residual (downcast) under refinement.
         resid_c = _masked(mask_c, gc, lambda c: rd_residual(c, c_prev, theta, t))
+        if use_refine:
+            resid_c_eval = lambda c: resid_c_hi(c).astype(c_prev.dtype)
+        else:
+            resid_c_eval = resid_c
         diag_c = jnp.where(mask_c, 1.0, rd_diag(theta))
         Mc = lambda r: r / diag_c
         c0 = jnp.where(mask_c, gc, c_prev)
@@ -132,7 +175,7 @@ def make_step(
         else:
             lmax_c = None
 
-        r0 = resid_c(c0)
+        r0 = resid_c_eval(c0)
         f0 = jnp.sqrt(jnp.sum(r0 * r0))
         ftol = jnp.maximum(cfg.newton_rtol * f0, cfg.newton_atol)
 
@@ -160,7 +203,7 @@ def make_step(
             dc, _ = pcg(A, rhs, M=Mc_solve, rtol=cfg.cg_rtol, atol=cfg.cg_atol,
                         maxiter=cfg.cg_maxiter)
             c_new = c + dc
-            r_new = resid_c(c_new)
+            r_new = resid_c_eval(c_new)
             fn_new = jnp.sqrt(jnp.sum(r_new**2))
             is_bad = jnp.logical_or(~jnp.isfinite(fn_new), fn_new > 1e10 * (f0 + 1.0))
             return (
@@ -186,7 +229,10 @@ def make_step(
             diag_u = jnp.where(mask_u, 1.0, el_diag(theta))
             Mu = lambda r: r / diag_u
         u0 = jnp.where(mask_u, gu, u_prev)
-        ru = resid_u(u0)
+        if use_refine:
+            ru = resid_u_hi(u0, c).astype(u_prev.dtype)
+        else:
+            ru = resid_u(u0)
         if el_operator is not None:
             Au = _op_masked(el_operator(theta), mask_u)
         else:
@@ -214,6 +260,16 @@ def make_step(
         conv_u = jnp.logical_and(
             jnp.isfinite(info_u["resnorm"]), info_u["resnorm"] <= tol_u
         )
+        if use_refine:
+            # one f64-residual correction pass (classic iterative
+            # refinement: f32 operator solves the f64 defect equation)
+            ru2 = resid_u_hi(u, c).astype(u_prev.dtype)
+            du2, _ = pcg(
+                Au, jnp.where(mask_u, 0.0, -ru2), M=Mu_solve,
+                rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
+            )
+            u = u + du2
+            conv_u = jnp.logical_and(conv_u, jnp.isfinite(jnp.sum(du2)))
         return u, c, jnp.logical_and(conv_c, conv_u), k
 
     @jax.custom_vjp

@@ -24,17 +24,41 @@ logger = logging.getLogger(__name__)
 
 
 def plot_scalar_field(mesh, values, path=None, title=None, cmap="viridis",
-                      ax=None, levels=None, colorbar=True, alpha=1.0):
+                      ax=None, levels=None, colorbar=True, alpha=1.0,
+                      range_f=None, exclude_below=None, exclude_around=None,
+                      cmap_ref=None):
     """Filled-contour plot of a nodal scalar on a 2D mesh
-    (reference plot_scalar_field, plotting.py:121-160)."""
+    (reference plot_scalar_field, plotting.py:121-160).
+
+    ``range_f``: (lo, hi) color range; ``exclude_below``/``exclude_around``
+    mask values out of the plot (reference exclude_* kwargs, l.340-389);
+    ``cmap_ref`` centers a diverging colormap at that value."""
     import matplotlib.pyplot as plt
 
     tri = helpers.mesh_to_triangulation(mesh)
     own_fig = ax is None
     if own_fig:
         fig, ax = plt.subplots(figsize=(6, 5))
-    vals = np.asarray(values, dtype=np.float64)
-    tpc = ax.tricontourf(tri, vals, levels=levels or 32, cmap=cmap, alpha=alpha)
+    vals = np.asarray(values, dtype=np.float64).copy()
+    if exclude_below is not None:
+        vals[vals < exclude_below] = np.nan
+    if exclude_around is not None:
+        center, tol = exclude_around
+        vals[np.abs(vals - center) <= tol] = np.nan
+    kw = {}
+    if range_f is not None:
+        lo, hi = range_f
+        vals = np.clip(vals, lo, hi)
+        if isinstance(levels, int) or levels is None:
+            levels = np.linspace(lo, hi, (levels or 32) + 1)
+    if cmap_ref is not None:
+        kw["norm"] = helpers.MidpointNormalize(midpoint=cmap_ref)
+    # all-NaN guard: tricontourf fails on empty data
+    if not np.isfinite(vals).any():
+        vals = np.zeros_like(vals)
+    tpc = ax.tricontourf(tri, np.nan_to_num(vals), levels=levels
+                         if levels is not None else 32, cmap=cmap,
+                         alpha=alpha, **kw)
     if colorbar:
         ax.figure.colorbar(tpc, ax=ax, shrink=0.8)
     if title:
@@ -151,9 +175,12 @@ def plot(plot_object_list: List[Dict], path=None, title=None, figsize=(7, 6)):
 
 def show_img_seg_f(image=None, segmentation=None, function=None, mesh=None,
                    path=None, title=None, showmesh=False, alpha_f=0.8,
-                   origin=(0, 0), spacing=(1, 1)):
+                   origin=(0, 0), spacing=(1, 1), range_f=None,
+                   colormap="viridis", n_cmap_levels=None, exclude_below=None,
+                   exclude_around=None, cmap_ref=None, **_ignored):
     """Convenience overlay: image + segmentation contours + field
-    (reference show_img_seg_f, plotting.py:340-389)."""
+    (reference show_img_seg_f, plotting.py:340-389).  Unknown reference
+    kwargs are accepted and ignored for drop-in compatibility."""
     objs = []
     if image is not None:
         objs.append({"object": image, "type": "image", "origin": origin,
@@ -164,8 +191,53 @@ def show_img_seg_f(image=None, segmentation=None, function=None, mesh=None,
     if function is not None and mesh is not None:
         vals = np.asarray(function)
         kind = "vector" if vals.ndim == 2 else "scalar"
-        objs.append({"object": (mesh, vals), "type": kind, "alpha": alpha_f})
+        entry = {"object": (mesh, vals), "type": kind, "alpha": alpha_f}
+        if kind == "scalar":
+            entry.update(cmap=colormap, range_f=range_f,
+                         levels=n_cmap_levels, exclude_below=exclude_below,
+                         exclude_around=exclude_around, cmap_ref=cmap_ref)
+        objs.append(entry)
     return plot(objs, path=path, title=title)
+
+
+# -- domain-specific presets (reference plotting.py:390-428) -----------------
+
+
+def plot_concentration(image, label, fun, title, mesh=None, path=None,
+                       show=False, plot_range=None):
+    """Concentration preset (reference plot_concentration, plotting.py:390-398)."""
+    return show_img_seg_f(image, label, fun, mesh=mesh, range_f=[0.001, 1.01],
+                          colormap="viridis", n_cmap_levels=20, title=title,
+                          path=path)
+
+
+def plot_growth(image, label, fun, title, mesh=None, path=None, show=False):
+    """Growth-field preset (reference plot_growth, plotting.py:401-408)."""
+    return show_img_seg_f(image, label, fun, mesh=mesh, range_f=[0.0, 0.2],
+                          colormap="viridis", n_cmap_levels=20, title=title,
+                          path=path)
+
+
+def plot_proliferation(image, label, fun, title, mesh=None, path=None,
+                       show=False):
+    """Proliferation preset with diverging colormap centered at 0
+    (reference plot_proliferation, plotting.py:411-419)."""
+    return show_img_seg_f(image, label, fun, mesh=mesh,
+                          exclude_around=(0, 0.0001), range_f=[-0.02, 0.1],
+                          colormap="RdBu_r", n_cmap_levels=20, cmap_ref=0.0,
+                          title=title, path=path)
+
+
+def plot_displacement(image, label, fun, title, mesh=None, path=None,
+                      show=False):
+    """Displacement preset: |u| masked below 0.5
+    (reference plot_displacement, plotting.py:422-428)."""
+    vals = np.asarray(fun)
+    if vals.ndim == 2:
+        vals = np.linalg.norm(vals, axis=1)
+    return show_img_seg_f(image, label, vals, mesh=mesh, range_f=[0.0, 20],
+                          exclude_below=0.5, colormap="viridis",
+                          n_cmap_levels=20, title=title, path=path)
 
 
 class Plotting:

@@ -133,3 +133,76 @@ def test_chebyshev_step_solution_unchanged(tmp_path):
     u0 = np.asarray(s0.solution[0])
     u6 = np.asarray(s6.solution[0])
     assert np.linalg.norm(u6 - u0) / max(np.linalg.norm(u0), 1e-30) < 1e-7
+
+
+def test_mixed_precision_refinement_beats_f32(tmp_path):
+    """f32 + refine_f64 (f64-kernel Newton residuals, StepConfig.refine_f64)
+    lands well under the 1e-6 north-star parity target where plain f32
+    misses it — the TPU accuracy answer of SURVEY §7 hard part #1."""
+    from glimslib_tpu.core.mesh import rectangle_mesh
+    from glimslib_tpu.models.tumor_growth import TumorGrowth
+    from glimslib_tpu.solvers.coupled import StepConfig
+    from reference_fem import ReferenceFEM
+
+    class Boundary:
+        def inside(self, x, on_boundary):
+            return on_boundary
+
+    def build(refine):
+        mesh = rectangle_mesh((-5, -5), (5, 5), 30, 30)
+        sim = TumorGrowth(mesh, dtype=jnp.float32)
+        sim.setup_global_parameters(
+            boundaries={"boundary_all": Boundary()},
+            dirichlet_bcs={"clamped": {"bc_value": np.zeros(2),
+                                       "named_boundary": "boundary_all",
+                                       "subspace_id": 0}},
+        )
+        sim.setup_model_parameters(
+            iv_expression={0: np.zeros(2),
+                           1: lambda x: np.exp(-(x**2).sum(axis=1))},
+            diffusion=0.1, coupling=1.0, proliferation=0.1, E=0.001,
+            poisson=0.45, sim_time=3, sim_time_step=1,
+        )
+        sim.step_config = StepConfig(
+            newton_rtol=1e-5, newton_atol=1e-6, cg_rtol=3e-7,
+            cg_maxiter=2000, refine_f64=refine,
+        )
+        return sim
+
+    def final_state(sim):
+        theta = sim.make_theta(sim.params.as_dict())
+        theta = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32)
+            if jnp.asarray(a).dtype.kind == "f" else a, theta)
+        iv = sim.params.create_initial_value_function()
+        u_traj, c_traj, ok, _ = jax.jit(sim.build_simulate_fn(3, 1.0))(
+            theta, jnp.asarray(iv[0], jnp.float32),
+            jnp.asarray(iv[1], jnp.float32))
+        assert bool(np.asarray(ok).all())
+        return np.asarray(u_traj[-1]), np.asarray(c_traj[-1])
+
+    # f64 scipy ground truth
+    sim = build(False)
+    mesh = sim.mesh
+    ref = ReferenceFEM(mesh)
+    iv = sim.params.create_initial_value_function()
+    c = np.asarray(iv[1], dtype=np.float64)
+    u = np.zeros(mesh.n_nodes * 2)
+    bn = mesh.boundary_nodes
+    E, nu = 0.001, 0.45
+    mu = E / (2 * (1 + nu))
+    lam = E * nu / ((1 + nu) * (1 - 2 * nu))
+    for _ in range(3):
+        u, c = ref.solve_step(
+            u, c, 0.1, 0.1, mu, lam, 1.0, 1.0,
+            dirichlet_disp_nodes=bn,
+            dirichlet_disp_values=np.zeros((len(bn), 2)))
+
+    u32, c32 = final_state(build(False))
+    ur, cr = final_state(build(True))
+    rel = lambda a, b: np.linalg.norm(
+        a.astype(np.float64).ravel() - b.ravel()) / np.linalg.norm(b.ravel())
+    # refinement must beat plain f32 and clear the 1e-6 target
+    assert rel(cr, c) < 1e-6, rel(cr, c)
+    assert rel(ur, u.reshape(-1, 2)) < 1e-6, rel(ur, u.reshape(-1, 2))
+    assert rel(cr, c) < rel(c32, c)
