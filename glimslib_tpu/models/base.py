@@ -421,6 +421,20 @@ class Simulation(ABC):
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()
         rd_jacobian, el_operator, el_precond = self._stencil_builders()
+        if el_precond is None and hasattr(
+            self.kernels, "elasticity_diag_blocks"
+        ):
+            # gather-path block-Jacobi: per-node (d, d) diagonal blocks —
+            # decisively better than the scalar diagonal for
+            # near-incompressible elasticity (nu ~ 0.45) on unstructured
+            # meshes (mirrors the stencil path's _Binv)
+            kern = self.kernels
+
+            def el_precond(theta):
+                B = kern.elasticity_diag_blocks(theta["mu"], theta["lam"])
+                Binv = kern.block_jacobi_inverse_blocks(B)
+                return lambda r: kern.apply_block_jacobi(Binv, r)
+
         hi = self.hi_residual_fns() if self.step_config.refine_f64 else None
         return make_step(
             rd_residual=self.rd_residual,

@@ -79,39 +79,70 @@ def _einsum(spec, *ops):
 
 
 class ScatterPlan(NamedTuple):
-    """Precomputed sorted-scatter plan for element->node accumulation.
+    """Precomputed PULL-gather plan for element->node accumulation.
 
-    sort_idx   (n_entries,)  permutation sorting the flattened cell->node map
-    sorted_ids (n_entries,)  node id of each entry after permutation
-    n_segments  int          number of nodes (static)
+    TPU rationale (measured on v5e): scatter-adds (and equivalently
+    ``segment_sum``, which XLA lowers to scatter on TPU) run at
+    ~0.14 G elem/s, while gathers run at ~6-18 G elem/s — a 40-100x gap.
+    So node accumulation is reformulated as its transpose: every node
+    *gathers* the contributions of its incident (cell, local-node) entries
+    through a static padded table.  This is the make-or-break change for
+    matrix-free FEM on unstructured meshes (SURVEY §7 'hard parts').
+
+    pull_table (n_segments, K)  entry index per incident slot, where
+                                n_entries serves as the zero-pad slot
+    n_entries   int             number of real entries (static)
+    n_segments  int             number of nodes (static)
     """
 
-    sort_idx: np.ndarray
-    sorted_ids: np.ndarray
+    pull_table: np.ndarray
+    n_entries: int
     n_segments: int
 
 
 def make_scatter_plan(index_map: np.ndarray, n_segments: int) -> ScatterPlan:
-    flat = np.asarray(index_map, dtype=np.int32).ravel()
-    sort_idx = np.argsort(flat, kind="stable").astype(np.int32)
+    flat = np.asarray(index_map, dtype=np.int64).ravel()
+    n_entries = len(flat)
+    order = np.argsort(flat, kind="stable")
+    sorted_ids = flat[order]
+    starts = np.searchsorted(sorted_ids, np.arange(n_segments))
+    ends = np.searchsorted(sorted_ids, np.arange(n_segments) + 1)
+    counts = ends - starts
+    K = int(counts.max()) if n_segments else 0
+    # padded slots point at the sentinel entry (index n_entries -> zero row)
+    table = np.full((n_segments, max(K, 1)), n_entries, dtype=np.int32)
+    # vectorized fill: position of each sorted entry within its segment
+    within = np.arange(n_entries) - starts[sorted_ids]
+    table[sorted_ids, within] = order
     return ScatterPlan(
-        sort_idx=sort_idx, sorted_ids=flat[sort_idx], n_segments=int(n_segments)
+        pull_table=table, n_entries=n_entries, n_segments=int(n_segments)
     )
 
 
 def scatter(plan: ScatterPlan, contrib_flat):
-    """Accumulate per-entry contributions into segments (nodes).
+    """Accumulate per-entry contributions into segments (nodes) by
+    pull-gather: pad with one zero row, gather (n_segments, K) incident
+    entries, reduce over K.
 
     ``contrib_flat``: (n_entries, ...) — e.g. element residual contributions
     flattened over (cell, local node).
+
+    TPU detail (measured): row-gathers of width >= 2 run ~3x faster per row
+    than scalar gathers per element, so 1-D contributions are pulled as
+    duplicated width-2 rows (the extra column costs streaming bandwidth,
+    the row form saves gather time).
     """
-    sorted_contrib = jnp.take(contrib_flat, plan.sort_idx, axis=0)
-    return jax.ops.segment_sum(
-        sorted_contrib,
-        jnp.asarray(plan.sorted_ids),
-        num_segments=plan.n_segments,
-        indices_are_sorted=True,
+    c = contrib_flat
+    was_1d = c.ndim == 1
+    if was_1d:
+        c = jnp.stack([c, c], axis=-1)
+    pad_width = [(0, 1)] + [(0, 0)] * (c.ndim - 1)
+    padded = jnp.pad(c, pad_width)
+    pulled = jnp.take(padded, jnp.asarray(plan.pull_table).ravel(), axis=0)
+    out = jnp.sum(
+        pulled.reshape((plan.n_segments, -1) + c.shape[1:]), axis=1
     )
+    return out[..., 0] if was_1d else out
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +255,10 @@ class P1Kernels:
         self.plan = make_scatter_plan(
             np.ascontiguousarray(mesh.cells.T), mesh.n_nodes
         )
+        # flat entry->node map for row-packed gathers (npe-major)
+        self.cells_flat = jnp.asarray(
+            np.ascontiguousarray(mesh.cells.T).ravel()
+        )
         self.mass_unit = jnp.asarray(p1_mass_matrix(self.dim), dtype=dtype)
         self.cubic_unit = jnp.asarray(p1_cubic_tensor(self.dim), dtype=dtype)
         import math
@@ -254,8 +289,20 @@ class P1Kernels:
         return jnp.take(nodal, self.cells, axis=0)
 
     def _gather_T(self, c):
-        """scalar nodal (n_nodes,) -> (npe, nc)."""
-        return jnp.take(c, self.cells_T, axis=0)
+        """scalar nodal (n_nodes,) -> (npe, nc).
+
+        Implemented as a duplicated width-2 row-gather: on TPU, row-gathers
+        (width >= 2) run ~3x faster per row than scalar gathers per
+        element, which dominates the matrix-free unstructured path."""
+        ge = self._gather_rows(jnp.stack([c, c], axis=-1))
+        return ge[..., 0]
+
+    def _gather_rows(self, pack):
+        """(n_nodes, w) packed fields -> (npe, nc, w) per-entry rows — one
+        row-gather fetches every packed field at once."""
+        return jnp.take(pack, self.cells_flat, axis=0).reshape(
+            self.npe, -1, pack.shape[1]
+        )
 
     def _cellco(self, x):
         """Coefficient -> broadcastable over (nc,)."""
@@ -266,12 +313,10 @@ class P1Kernels:
         return scatter(self.plan, contrib.reshape(-1))
 
     def _scatter_vector(self, contrib):
-        """(npe, d, nc) element contributions -> (n_nodes, d)."""
-        cols = [
-            scatter(self.plan, contrib[:, a, :].reshape(-1))
-            for a in range(self.dim)
-        ]
-        return jnp.stack(cols, axis=1)
+        """(npe, d, nc) element contributions -> (n_nodes, d): one
+        row-packed pull over all components (npe-major entry order)."""
+        ent = jnp.moveaxis(contrib, 1, -1).reshape(-1, self.dim)
+        return scatter(self.plan, ent)
 
     # -- scalar reaction-diffusion block ------------------------------------
 
@@ -289,8 +334,10 @@ class P1Kernels:
         rho = self._cellco(rho)
         source = self._cellco(source)
 
-        ce = self._gather_T(c)  # (npe, nc)
-        cpe = self._gather_T(c_prev)
+        # one packed row-gather for both fields
+        ge = self._gather_rows(jnp.stack([c, c_prev], axis=-1))
+        ce = ge[..., 0]  # (npe, nc)
+        cpe = ge[..., 1]
         m_diff = self._mass_apply(ce - cpe)  # (npe, nc)
         grad_c = jnp.sum(ce[:, None, :] * g, axis=0)  # (d, nc)
         k_term = jnp.sum(grad_c[None] * g, axis=1)  # (npe, nc)
@@ -326,26 +373,30 @@ class P1Kernels:
         Uses σ(v):(k c I) = k c (2μ + d λ) div v.  Returns (n_nodes, d).
         ``u`` is (n_nodes, d); ``c`` (n_nodes,).
         """
-        ce = self._gather_T(c)
-        c_int = ce.mean(axis=0) * self.vol  # exact ∫c per cell for P1 c
-        return self.elasticity_residual_cint(u, c_int, mu, lam, coupling,
-                                             body_force)
+        # one packed row-gather fetches u AND c per entry
+        d = self.dim
+        ge = self._gather_rows(jnp.concatenate([u, c[:, None]], axis=1))
+        ue = jnp.transpose(ge[..., :d], (2, 0, 1))  # (d, npe, nc)
+        c_int = ge[..., d].mean(axis=0) * self.vol  # exact ∫c per cell (P1)
+        return self._elasticity_from_ue(ue, c_int, mu, lam, coupling,
+                                        body_force)
 
     def elasticity_residual_cint(self, u, c_int, mu, lam, coupling,
                                  body_force=None):
         """Elasticity residual with the concentration entering only through
         its per-cell integral ``c_int = ∫_e c dx`` — shared by P1 and P2
         concentration spaces (quad models)."""
+        ue = jnp.transpose(self._gather_rows(u), (2, 0, 1))  # (d, npe, nc)
+        return self._elasticity_from_ue(ue, c_int, mu, lam, coupling,
+                                        body_force)
+
+    def _elasticity_from_ue(self, ue, c_int, mu, lam, coupling,
+                            body_force=None):
         d = self.dim
         g = self.grads_T  # (npe, d, nc)
         v = self.vol
         mu = self._cellco(mu)
         lam = self._cellco(lam)
-
-        # ue (d_a, npe, nc): one gather per component, no transposes
-        ue = jnp.stack(
-            [jnp.take(u[:, a], self.cells_T, axis=0) for a in range(d)], axis=0
-        )
         # grad_u[a, b] = sum_j ue[a, j] g[j, b]
         grad_u = jnp.sum(ue[:, None, :, :] * g.transpose(1, 0, 2)[None], axis=2)
         # shapes: ue (a, 1, j->npe, nc) * g' (1, b->d, j->npe? ...) — see below
@@ -380,6 +431,45 @@ class P1Kernels:
         diag = v * (mu * (g2[:, None, :] + ga2) + lam * ga2)
         return self._scatter_vector(diag)
 
+    def elasticity_diag_blocks(self, mu, lam):
+        """Per-node (d, d) diagonal blocks of the elasticity operator:
+        A[(i,a),(i,b)] = Σ_cells V [ μ(g_i[a] g_i[b] + δ_ab |g_i|²)
+                                     + λ g_i[a] g_i[b] ].
+
+        Assembled by scatter (any mesh — the gather-path analogue of the
+        stencil path's zero-offset plane).  Feeds
+        :meth:`block_jacobi_inverse_blocks`: a far stronger preconditioner
+        than the scalar diagonal for near-incompressible elasticity
+        (nu ~ 0.45, reference brain configs)."""
+        g = self.grads_T  # (npe, d, nc)
+        v = self.vol
+        mu = self._cellco(mu)
+        lam = self._cellco(lam)
+        gg = g[:, :, None, :] * g[:, None, :, :]  # (npe, a, b, nc)
+        g2 = jnp.sum(g * g, axis=1)  # (npe, nc)
+        eye = jnp.eye(self.dim, dtype=self.dtype)[None, :, :, None]
+        contrib = v * (mu * (gg + eye * g2[:, None, None, :]) + lam * gg)
+        # scatter (npe, a, b, nc) -> (n_nodes, d, d); the plan is npe-major
+        # (built over cells.T), so entries flatten as (npe, nc, ...)
+        d = self.dim
+        flat = jnp.moveaxis(contrib, -1, 1).reshape(-1, d * d)
+        out = scatter(self.plan, flat)
+        return out.reshape(-1, d, d)
+
+    def block_jacobi_inverse_blocks(self, B, mask=None):
+        """Invert per-node (d, d) diagonal blocks; masked (Dirichlet) nodes
+        get identity blocks.  Returns (n_nodes, d, d)."""
+        d = self.dim
+        if mask is not None:
+            m = jnp.any(mask, axis=1)
+            eye = jnp.eye(d, dtype=B.dtype)[None]
+            B = jnp.where(m[:, None, None], eye, B)
+        return jnp.linalg.inv(B)
+
+    def apply_block_jacobi(self, Binv, r):
+        """r (n, d) -> (n, d) per-node block solve."""
+        return jnp.sum(Binv * r[:, None, :], axis=2)
+
     # -- generic helpers -----------------------------------------------------
 
     def mass_residual(self, c):
@@ -389,12 +479,11 @@ class P1Kernels:
 
     def mass_vector_residual(self, u):
         """Vector-field consistent mass action, (n_nodes, d)."""
-        cols = []
-        for a in range(self.dim):
-            ue = jnp.take(u[:, a], self.cells_T, axis=0)
-            contrib = self.vol * self._mass_apply(ue)
-            cols.append(scatter(self.plan, contrib.reshape(-1)))
-        return jnp.stack(cols, axis=1)
+        ue = self._gather_rows(u)  # (npe, nc, d)
+        contrib = self.vol[None, :, None] * self._m0 * (
+            jnp.sum(ue, axis=0, keepdims=True) + ue
+        )
+        return scatter(self.plan, contrib.reshape(-1, self.dim))
 
     def lumped_mass(self):
         """Row-sum lumped mass vector (n_nodes,)."""

@@ -69,7 +69,19 @@ class P2Kernels:
     # -- basics --------------------------------------------------------------
 
     def gather(self, f):
-        return jnp.take(f, self.cell_dofs, axis=0)
+        # duplicated width-2 row-gather: ~3x faster than scalar gathers on
+        # TPU (see ops/assembly.py ScatterPlan notes)
+        pack = jnp.stack([f, f], axis=-1)
+        return jnp.take(pack, self.cell_dofs.ravel(), axis=0).reshape(
+            self.n_cells, self.npe, 2
+        )[..., 0]
+
+    def gather2(self, f, f2):
+        """Row-gather two fields at once: -> (nc, npe, 2)."""
+        pack = jnp.stack([f, f2], axis=-1)
+        return jnp.take(pack, self.cell_dofs.ravel(), axis=0).reshape(
+            self.n_cells, self.npe, 2
+        )
 
     def at_quad(self, fe):
         """(nc, npe) dof values -> (nc, nq) values at quadrature points."""
@@ -95,8 +107,9 @@ class P2Kernels:
 
     def rd_residual(self, c, c_prev, D, rho, dt, source=0.0, conc_max=1.0):
         """Implicit-Euler Fisher-KPP residual for P2 c, by quadrature."""
-        ce = self.gather(c)
-        cpe = self.gather(c_prev)
+        ge = self.gather2(c, c_prev)
+        ce = ge[..., 0]
+        cpe = ge[..., 1]
         D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (self.n_cells,))
         rho = jnp.broadcast_to(jnp.asarray(rho, self.dtype), (self.n_cells,))
         source = jnp.broadcast_to(jnp.asarray(source, self.dtype), (self.n_cells,))

@@ -368,6 +368,15 @@ class StencilOperators:
         self._m0 = 1.0 / ((self.dim + 1) * (self.dim + 2))
         self._t0 = math.factorial(self.dim) / math.factorial(self.dim + 3)
         self.offsets = [int(o) for o in self.plan.offsets]
+        # symmetric-folded storage: a symmetric operator is fully described
+        # by its offset>=0 planes (A[i, i+o] = A[i+o, i]^T), halving plane
+        # memory traffic per matvec — the dominant cost of stencil CG
+        self.sym_idx = np.asarray(
+            [i for i, o in enumerate(self.offsets) if o >= 0], dtype=np.int64
+        )
+        sym_offsets = [self.offsets[i] for i in self.sym_idx]
+        assert sym_offsets[0] == 0
+        self.pos_offsets = sym_offsets[1:]
 
 
     def _cell_coeff(self, x):
@@ -474,6 +483,45 @@ class StencilOperators:
             acc = acc + W[o] * shifted
         return acc
 
+    # -- symmetric-folded storage/applies ------------------------------------
+
+    def fold_sym(self, W):
+        """Keep only the offset>=0 planes of a *symmetric* operator (plane
+        axis first).  Apply with the ``*_sym`` methods — same result as the
+        full-plane apply at ~half the plane traffic."""
+        return W[jnp.asarray(self.sym_idx)]
+
+    def apply_scalar_sym(self, Ws, vvec):
+        """Symmetric scalar matvec from folded planes: the +o plane serves
+        both directions (A[i,i+o] v[i+o] and, rolled, A[i+o,i] v[i])."""
+        acc = Ws[0] * vvec
+        for k, off in enumerate(self.pos_offsets):
+            w = Ws[k + 1]
+            acc = acc + w * jnp.roll(vvec, -off)
+            acc = acc + jnp.roll(w * vvec, off)
+        return acc
+
+    def apply_vector_sym(self, Ws, u):
+        """Symmetric vector matvec from folded planes (n_sym, d, d, n):
+        reverse-direction contributions use the transposed (a, b) block."""
+        d = self.dim
+        cols = []
+        for a in range(d):
+            acc = jnp.zeros(u.shape[0], dtype=u.dtype)
+            for b in range(d):
+                acc = acc + Ws[0, a, b] * u[:, b]
+            cols.append(acc)
+        for k, off in enumerate(self.pos_offsets):
+            W = Ws[k + 1]
+            for a in range(d):
+                fwd = jnp.zeros(u.shape[0], dtype=u.dtype)
+                rev = jnp.zeros(u.shape[0], dtype=u.dtype)
+                for b in range(d):
+                    fwd = fwd + W[a, b] * jnp.roll(u[:, b], -off)
+                    rev = rev + W[b, a] * u[:, b]
+                cols[a] = cols[a] + fwd + jnp.roll(rev, off)
+        return jnp.stack(cols, axis=1)
+
     def build_coupling_uc(self, mu, lam, coupling):
         """Planes C (n_off, d, n) of the (linear) growth-strain coupling in
         the elasticity residual: contribution of nodal c_j to R_u[i, a] is
@@ -534,6 +582,18 @@ class StencilOperators:
     def apply_block_jacobi(self, Binv, r):
         """r (n, d) -> (n, d): per-node 3x3 (or 2x2) solve."""
         return jnp.sum(Binv[:, :, :].transpose(2, 0, 1) * r[:, None, :], axis=2)
+
+    def block_jacobi_inverse_sym(self, Ws, mask=None):
+        """Like :meth:`block_jacobi_inverse` but from folded planes (whose
+        first plane is the zero offset)."""
+        d = self.dim
+        B = Ws[0]  # (d, d, n)
+        if mask is not None:
+            m = jnp.any(mask, axis=1)
+            eye = jnp.eye(d, dtype=B.dtype)[:, :, None]
+            B = jnp.where(m[None, None, :], eye, B)
+        Bt = jnp.moveaxis(B, -1, 0)
+        return jnp.moveaxis(jnp.linalg.inv(Bt), 0, -1)
 
     def apply_vector(self, W, u):
         """(A u)[i, a] = sum_o sum_b W[o, a, b, i] u[i + off_o, b].

@@ -158,3 +158,27 @@ def test_facet_traction():
     t = np.array([1.0, 2.0, -1.0])
     r = np.asarray(fk.traction_residual(jnp.asarray(t)))
     assert np.allclose(r.sum(axis=0), t * 6.0, atol=1e-12)  # surface area = 6
+
+
+def test_elasticity_diag_blocks_match_reference():
+    """Gather-path per-node diagonal blocks == scipy elasticity matrix
+    diagonal blocks (and the scalar diagonal is their trace part)."""
+    import jax.numpy as jnp
+    from glimslib_tpu.core.mesh import box_mesh
+    from glimslib_tpu.ops.assembly import P1Kernels
+    from reference_fem import ReferenceFEM
+
+    mesh = box_mesh((0, 0, 0), (1, 1, 2), 3, 3, 4)
+    mids = mesh.cell_midpoints
+    mu = 1.0 + mids[:, 0]
+    lam = 2.0 + mids[:, 2]
+    k = P1Kernels(mesh)
+    B = np.asarray(k.elasticity_diag_blocks(jnp.asarray(mu), jnp.asarray(lam)))
+    K = ReferenceFEM(mesh).elasticity_matrix(mu, lam).tocsr()
+    d = mesh.dim
+    for i in range(0, mesh.n_nodes, 7):
+        want = K[d * i:d * i + d, d * i:d * i + d].toarray()
+        assert np.allclose(B[i], want, rtol=1e-10), i
+    diag = np.asarray(k.elasticity_diag(jnp.asarray(mu), jnp.asarray(lam)))
+    assert np.allclose(np.einsum("naa->na", B) * 0 + B[:, range(d), range(d)],
+                       diag, rtol=1e-10)

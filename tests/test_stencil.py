@@ -174,3 +174,37 @@ def test_streaming_rd_residual_with_static_source(tmp_path):
         c = spla.spsolve((M + K).tocsc(), M @ c + 0.3 * load)
     rel = np.linalg.norm(sim.solution[1] - c) / np.linalg.norm(c)
     assert rel < 1e-9, rel
+
+
+def test_symmetric_folded_applies_match_full():
+    """fold_sym + apply_*_sym reproduce the full-plane applies exactly
+    (the folded path halves plane traffic in CG matvecs)."""
+    import jax.numpy as jnp
+    from glimslib_tpu.core.mesh import box_mesh, rectangle_mesh
+    from glimslib_tpu.ops.stencil import StencilOperators
+
+    rng = np.random.default_rng(7)
+    for mesh in (rectangle_mesh((0, 0), (2, 1), 6, 5),
+                 box_mesh((0, 0, 0), (1, 2, 1), 3, 4, 3)):
+        ops = StencilOperators(mesh, dtype=jnp.float64)
+        mids = mesh.cell_midpoints
+        mu = jnp.asarray(1.0 + mids[:, 0])
+        lam = jnp.asarray(2.0 + mids[:, 1])
+        W = ops.build_elasticity(mu, lam)
+        Ws = ops.fold_sym(W)
+        u = jnp.asarray(rng.standard_normal((mesh.n_nodes, mesh.dim)))
+        full = np.asarray(ops.apply_vector(W, u))
+        sym = np.asarray(ops.apply_vector_sym(Ws, u))
+        assert np.allclose(sym, full, atol=1e-12), np.abs(sym - full).max()
+
+        c = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+        Wrd = ops.build_rd_jacobian(c * 0.1 + 0.5, jnp.asarray(0.3),
+                                    jnp.asarray(0.2), 1.0)
+        Wrds = ops.fold_sym(Wrd)
+        full_s = np.asarray(ops.apply_scalar(Wrd, c))
+        sym_s = np.asarray(ops.apply_scalar_sym(Wrds, c))
+        assert np.allclose(sym_s, full_s, atol=1e-12)
+
+        Binv_full = np.asarray(ops.block_jacobi_inverse(W))
+        Binv_sym = np.asarray(ops.block_jacobi_inverse_sym(Ws))
+        assert np.allclose(Binv_full, Binv_sym, atol=1e-13)
