@@ -154,6 +154,63 @@ class TimeSeriesMultiData:
                         replace=True,
                     )
 
+    # -- Orbax (TPU-ecosystem checkpointing) --------------------------------
+
+    def save_to_orbax(self, path, mesh=None):
+        """Whole-series checkpoint via Orbax (the JAX-ecosystem equivalent
+        of the HDF5 series checkpoint, reference helper_classes.py:1256-1308
+        — async-capable, sharding-aware storage used by TPU training
+        stacks).  Layout: one PyTree
+        {series: {name: {step_xxxxx: {time, time_step, recording_step,
+        fields: {sid: array}}}}, mesh: {points, cells}}."""
+        import orbax.checkpoint as ocp
+
+        tree = {"series": {}}
+        for name, series in self._series.items():
+            st = {}
+            for rstep in series.get_recording_steps():
+                obs = series.get_observation(rstep)
+                st[f"step_{rstep:05d}"] = {
+                    "time": np.asarray(obs.time),
+                    "time_step": np.asarray(obs.time_step),
+                    "recording_step": np.asarray(obs.recording_step),
+                    "fields": {
+                        str(sid): np.asarray(arr)
+                        for sid, arr in obs.fields.items()
+                    },
+                }
+            tree["series"][name] = st
+        if mesh is not None:
+            tree["mesh"] = {"points": mesh.points, "cells": mesh.cells}
+        path = os.path.abspath(path)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+        logger.info("saved time series to orbax checkpoint %s", path)
+
+    def load_from_orbax(self, path):
+        """Restore a series checkpoint written by :meth:`save_to_orbax`."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        tree = ckptr.restore(os.path.abspath(path))
+        for name, st in tree["series"].items():
+            self.register_time_series(name)
+            for key in sorted(st.keys()):
+                rec = st[key]
+                fields = {
+                    int(sid): np.asarray(arr)
+                    for sid, arr in rec["fields"].items()
+                }
+                self._series[name].add_observation(
+                    fields,
+                    float(rec["time"]),
+                    int(rec["time_step"]),
+                    int(rec["recording_step"]),
+                    replace=True,
+                )
+        return tree.get("mesh")
+
     @staticmethod
     def read_mesh_hdf5(path):
         import h5py
@@ -278,3 +335,13 @@ class Results:
 
     def load_solution_hdf5(self, path):
         self.data.load_from_hdf5(path)
+
+    def save_solution_orbax(self, path=None):
+        """Orbax-based whole-series checkpoint (alternative to HDF5; see
+        TimeSeriesMultiData.save_to_orbax)."""
+        path = path or os.path.join(self.output_dir, "solution_timeseries.ocp")
+        self.data.save_to_orbax(path, mesh=self.mesh)
+        return path
+
+    def load_solution_orbax(self, path):
+        self.data.load_from_orbax(path)

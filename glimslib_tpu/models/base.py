@@ -580,6 +580,17 @@ class Simulation(ABC):
         )
         self.results.data.load_from_hdf5(path_to_hdf5)
 
+    def reload_from_orbax(self, path, output_dir=None):
+        """Reload a whole-series Orbax checkpoint
+        (Results.save_solution_orbax) — same semantics as
+        :meth:`reload_from_hdf5`."""
+        output_dir = output_dir or config.output_dir_simulation_tmp
+        self.logger.info("-- Reloading from orbax checkpoint")
+        self.results = Results(
+            self.functionspace, self.subdomains, output_dir=output_dir
+        )
+        self.results.data.load_from_orbax(path)
+
     # -- postprocess hook ----------------------------------------------------
 
     def init_postprocess(self, output_dir=None):

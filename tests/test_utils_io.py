@@ -194,3 +194,38 @@ def test_merge_vtus(tmp_path):
 
 
 import os  # noqa: E402  (used in test_merge_vtus)
+
+
+def test_orbax_series_checkpoint_roundtrip(tmp_path):
+    """Orbax whole-series checkpoint (core/results.py save_to_orbax) round-
+    trips fields, metadata, and mesh — the TPU-ecosystem alternative to the
+    HDF5 series checkpoint (reference helper_classes.py:1256-1308)."""
+    import numpy as np
+    from glimslib_tpu.core.mesh import rectangle_mesh
+    from glimslib_tpu.core.functionspace import FunctionSpace
+    from glimslib_tpu.core.results import Results, TimeSeriesMultiData
+
+    mesh = rectangle_mesh((0, 0), (1, 1), 4, 4)
+    fs = FunctionSpace(mesh)
+    fs.init_function_space([(1, 1), (0, 1)], {0: "displacement",
+                                              1: "concentration"})
+    res = Results(fs, output_dir=str(tmp_path))
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        res.add_to_results(
+            float(k), k, k,
+            {0: rng.standard_normal((mesh.n_nodes, 2)),
+             1: rng.standard_normal(mesh.n_nodes)},
+        )
+    path = res.save_solution_orbax()
+
+    other = TimeSeriesMultiData()
+    restored_mesh = other.load_from_orbax(path)
+    s = other.get_time_series("solution")
+    assert s.get_recording_steps() == [0, 1, 2]
+    for k in range(3):
+        a = res.get_result(k)
+        b = s.get_observation(k).fields
+        assert np.allclose(a[0], b[0]) and np.allclose(a[1], b[1])
+        assert s.get_observation(k).time == float(k)
+    assert np.allclose(np.asarray(restored_mesh["points"]), mesh.points)
