@@ -18,7 +18,8 @@ for s in \
     examples/comparison_3D_atlas.py \
     examples/tumor_growth_3D_atlas_sharded.py \
     examples/brain_2D_atlas_reduced_domain_adjoint.py \
-    examples/atlas_optimization_workflow.py; do
+    examples/atlas_optimization_workflow.py \
+    examples/patient_optimization_workflow.py; do
   echo "== $s"
   python $s
 done

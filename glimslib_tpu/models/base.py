@@ -323,6 +323,17 @@ class Simulation(ABC):
         # _augment_theta_with_operators runs *inside* simulate() and is
         # itself differentiated, routing plane cotangents back to
         # D/rho/mu/lam/coupling.  Do NOT stop_gradient the planes.
+        # Pallas fused matvecs (TPU f32, unsharded): VMEM-resident vectors
+        # with in-register rolls — bit-exact vs the XLA roll path, ~1.4x
+        # faster per CG iteration (ops/stencil_pallas.py)
+        from glimslib_tpu.ops import stencil_pallas as sp
+
+        use_pallas = (
+            sp.pallas_enabled()
+            and self.dtype == jnp.float32
+            and self._gspmd_mesh is None
+        )
+
         def rd_jacobian(theta, c):
             if "_Wrd_const" in theta:
                 W = theta["_Wrd_const"] + ops.build_rd_wc(
@@ -332,12 +343,16 @@ class Simulation(ABC):
                 W = ops.build_rd_jacobian(
                     c, theta["D"], theta["rho"], theta["dt"], conc_max=1.0
                 )
+            if use_pallas:
+                return lambda v: sp.apply_scalar_pallas(ops.offsets, W, v)
             return lambda v: ops.apply_scalar(W, v)
 
         def el_operator(theta):
             W = theta.get("_Wel")
             if W is None:
                 W = ops.build_elasticity(theta["mu"], theta["lam"])
+            if use_pallas:
+                return lambda u: sp.apply_vector_pallas(ops.offsets, W, u)
             return lambda u: ops.apply_vector(W, u)
 
         def el_precond(theta):

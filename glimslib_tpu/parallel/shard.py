@@ -6,7 +6,8 @@ PETSc allreduce per Newton iteration, SURVEY.md §3.4) becomes:
   - cells sharded over a 1-D ``jax.sharding.Mesh`` axis (ICI on hardware),
   - each device gathers nodal values for its cell block, runs the dense
     per-cell element math (shared SoA kernels from ops/assembly.py),
-    scatter-adds into a full-length node vector (sorted segment-sum),
+    pull-gathers contributions into a full-length node vector (static
+    incidence tables; TPU scatters are ~40x slower than row-gathers),
   - one ``psum`` over the mesh axis accumulates inter-device node
     contributions (the halo exchange), yielding replicated residuals.
 
@@ -85,21 +86,30 @@ class ShardedP1Kernels:
         cells_T = np.ascontiguousarray(self.part.cells.transpose(0, 2, 1))
         grads_T = np.ascontiguousarray(self.part.grads.transpose(0, 2, 3, 1))
         per = cells_T.shape[-1]
-        sort_idx = np.zeros((n_parts, self.npe * per), dtype=np.int32)
-        sorted_ids = np.zeros((n_parts, self.npe * per), dtype=np.int32)
-        for p in range(n_parts):
-            flat = cells_T[p].ravel()
-            si = np.argsort(flat, kind="stable").astype(np.int32)
-            sort_idx[p] = si
-            sorted_ids[p] = flat[si]
+        # per-part PULL tables (see ops/assembly.py ScatterPlan): node
+        # accumulation as gathers, not segment_sum — TPU scatters are
+        # ~40x slower than row-gathers
+        from glimslib_tpu.ops.assembly import make_scatter_plan
+
+        plans = [
+            make_scatter_plan(cells_T[p], mesh.n_nodes)
+            for p in range(n_parts)
+        ]
+        K = max(pl.pull_table.shape[1] for pl in plans)
+        n_entries = self.npe * per
+        pull = np.full((n_parts, mesh.n_nodes, K), n_entries, dtype=np.int32)
+        for p, pl in enumerate(plans):
+            # re-point each part's sentinel to the shared one (n_entries)
+            t = pl.pull_table.copy()
+            t[t == pl.n_entries] = n_entries
+            pull[p, :, : t.shape[1]] = t
 
         self._shard = NamedSharding(device_mesh, P(self.axis))
         put = lambda a: jax.device_put(jnp.asarray(a), self._shard)
         self.cells_T = put(cells_T)  # (P, npe, C)
         self.vol = put(jnp.asarray(self.part.vol, dtype=dtype))  # (P, C)
         self.grads_T = put(jnp.asarray(grads_T, dtype=dtype))  # (P, npe, d, C)
-        self.sort_idx = put(sort_idx)
-        self.sorted_ids = put(sorted_ids)
+        self.pull_table = put(pull)  # (P, n_nodes, K)
         self._cell_perm = jnp.asarray(self.part.cell_perm)
 
     # -- plumbing ------------------------------------------------------------
@@ -112,23 +122,38 @@ class ShardedP1Kernels:
         return jnp.take(v, self._cell_perm, axis=0)
 
     def _run(self, local, cell_args, rep_args):
-        n_cell = 5 + len(cell_args)
+        n_cell = 4 + len(cell_args)
         in_specs = (P(self.axis),) * n_cell + (P(),) * len(rep_args)
         fn = shard_map(
             local, mesh=self.device_mesh, in_specs=in_specs, out_specs=P()
         )
         return fn(
-            self.cells_T, self.vol, self.grads_T, self.sort_idx,
-            self.sorted_ids, *cell_args, *rep_args,
+            self.cells_T, self.vol, self.grads_T, self.pull_table,
+            *cell_args, *rep_args,
         )
 
     @staticmethod
-    def _local_scatter(contrib_flat, sort_idx, sorted_ids, n_nodes, axis):
-        s = jnp.take(contrib_flat, sort_idx, axis=0)
-        r = jax.ops.segment_sum(
-            s, sorted_ids, num_segments=n_nodes, indices_are_sorted=True
+    def _local_scatter(contrib_flat, pull, n_nodes, axis):
+        """Pull-gather accumulation + all-reduce (row-packed; 1-D
+        contributions pull as duplicated width-2 rows — see
+        ops/assembly.py scatter)."""
+        c = contrib_flat
+        was_1d = c.ndim == 1
+        if was_1d:
+            c = jnp.stack([c, c], axis=-1)
+        padded = jnp.pad(c, [(0, 1)] + [(0, 0)] * (c.ndim - 1))
+        pulled = jnp.take(padded, pull.ravel(), axis=0)
+        out = jnp.sum(pulled.reshape((n_nodes, -1) + c.shape[1:]), axis=1)
+        if was_1d:
+            out = out[..., 0]
+        return jax.lax.psum(out, axis)
+
+    @staticmethod
+    def _gather_rows(pack, cells):
+        """Replicated (n_nodes, w) fields -> (npe, C, w) per-entry rows."""
+        return jnp.take(pack, cells.ravel(), axis=0).reshape(
+            cells.shape[0], cells.shape[1], pack.shape[1]
         )
-        return jax.lax.psum(r, axis)
 
     # -- kernels -------------------------------------------------------------
 
@@ -137,18 +162,17 @@ class ShardedP1Kernels:
         m0, t0 = self._m0, self._t0
         scatter = self._local_scatter
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, D, rho, src,
-                  c, c_prev, dt):
-            cells, vol, grads = cells[0], vol[0], grads[0]
-            sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
+        gather_rows = self._gather_rows
+
+        def local(cells, vol, grads, pull, D, rho, src, c, c_prev, dt):
+            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
             D, rho, src = D[0], rho[0], src[0]
-            ce = jnp.take(c, cells, axis=0)  # (npe, C)
-            cpe = jnp.take(c_prev, cells, axis=0)
+            ge = gather_rows(jnp.stack([c, c_prev], axis=-1), cells)
+            ce, cpe = ge[..., 0], ge[..., 1]  # (npe, C)
             contrib = rd_element_contrib(
                 ce, cpe, grads, vol, D, rho, dt, src, conc_max, m0, t0, dim
             )
-            return scatter(contrib.reshape(-1), sort_idx, sorted_ids,
-                           n_nodes, axis)
+            return scatter(contrib.reshape(-1), pull, n_nodes, axis)
 
         return self._run(
             local,
@@ -166,25 +190,20 @@ class ShardedP1Kernels:
             else jnp.broadcast_to(jnp.asarray(body_force, self.dtype), (dim,))
         )
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, mu, lam, coupling,
-                  u, c, bf):
-            cells, vol, grads = cells[0], vol[0], grads[0]
-            sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
+        gather_rows = self._gather_rows
+
+        def local(cells, vol, grads, pull, mu, lam, coupling, u, c, bf):
+            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
             mu, lam, coupling = mu[0], lam[0], coupling[0]
-            ce = jnp.take(c, cells, axis=0)
-            c_int = ce.mean(axis=0) * vol
-            ue = jnp.stack(
-                [jnp.take(u[:, a], cells, axis=0) for a in range(dim)], axis=0
-            )
+            # one width-(d+1) row-gather fetches u AND c per entry
+            ge = gather_rows(jnp.concatenate([u, c[:, None]], axis=1), cells)
+            ue = jnp.transpose(ge[..., :dim], (2, 0, 1))  # (d, npe, C)
+            c_int = ge[..., dim].mean(axis=0) * vol
             contrib = elasticity_element_contrib(
                 ue, c_int, grads, vol, mu, lam, coupling, bf[:, None], dim
             )
-            cols = [
-                scatter(contrib[:, a, :].reshape(-1), sort_idx, sorted_ids,
-                        n_nodes, axis)
-                for a in range(dim)
-            ]
-            return jnp.stack(cols, axis=1)
+            ent = jnp.moveaxis(contrib, 1, -1).reshape(-1, dim)
+            return scatter(ent, pull, n_nodes, axis)
 
         return self._run(
             local,
@@ -198,13 +217,11 @@ class ShardedP1Kernels:
         m0 = self._m0
         scatter = self._local_scatter
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, D, dt):
-            cells, vol, grads = cells[0], vol[0], grads[0]
-            sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
+        def local(cells, vol, grads, pull, D, dt):
+            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
             D = D[0]
             contrib = rd_diag_contrib(grads, vol, D, dt, m0, dim)
-            return scatter(contrib.reshape(-1), sort_idx, sorted_ids,
-                           n_nodes, axis)
+            return scatter(contrib.reshape(-1), pull, n_nodes, axis)
 
         return self._run(
             local, cell_args=(self._cellwise(D),),
@@ -215,17 +232,12 @@ class ShardedP1Kernels:
         axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
         scatter = self._local_scatter
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, mu, lam):
-            cells, vol, grads = cells[0], vol[0], grads[0]
-            sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
+        def local(cells, vol, grads, pull, mu, lam):
+            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
             mu, lam = mu[0], lam[0]
             contrib = elasticity_diag_contrib(grads, vol, mu, lam)
-            cols = [
-                scatter(contrib[:, a, :].reshape(-1), sort_idx, sorted_ids,
-                        n_nodes, axis)
-                for a in range(dim)
-            ]
-            return jnp.stack(cols, axis=1)
+            ent = jnp.moveaxis(contrib, 1, -1).reshape(-1, dim)
+            return scatter(ent, pull, n_nodes, axis)
 
         return self._run(
             local, cell_args=(self._cellwise(mu), self._cellwise(lam)),
@@ -237,13 +249,11 @@ class ShardedP1Kernels:
         m0 = self._m0
         scatter = self._local_scatter
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, c):
-            cells, vol = cells[0], vol[0]
-            sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
+        def local(cells, vol, grads, pull, c):
+            cells, vol, pull = cells[0], vol[0], pull[0]
             ce = jnp.take(c, cells, axis=0)
             contrib = vol * (m0 * (jnp.sum(ce, axis=0) + ce))
-            return scatter(contrib.reshape(-1), sort_idx, sorted_ids,
-                           n_nodes, axis)
+            return scatter(contrib.reshape(-1), pull, n_nodes, axis)
 
         return self._run(local, cell_args=(), rep_args=(c,))
 
@@ -251,26 +261,22 @@ class ShardedP1Kernels:
         axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
         m0 = self._m0
         scatter = self._local_scatter
+        gather_rows = self._gather_rows
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, u):
-            cells, vol = cells[0], vol[0]
-            sort_idx, sorted_ids = sort_idx[0], sorted_ids[0]
-            cols = []
-            for a in range(dim):
-                ue = jnp.take(u[:, a], cells, axis=0)
-                contrib = vol * (m0 * (jnp.sum(ue, axis=0) + ue))
-                cols.append(
-                    scatter(contrib.reshape(-1), sort_idx, sorted_ids,
-                            n_nodes, axis)
-                )
-            return jnp.stack(cols, axis=1)
+        def local(cells, vol, grads, pull, u):
+            cells, vol, pull = cells[0], vol[0], pull[0]
+            ue = gather_rows(u, cells)  # (npe, C, d)
+            contrib = vol[None, :, None] * m0 * (
+                jnp.sum(ue, axis=0, keepdims=True) + ue
+            )
+            return scatter(contrib.reshape(-1, dim), pull, n_nodes, axis)
 
         return self._run(local, cell_args=(), rep_args=(u,))
 
     def integrate_p1(self, c):
         axis = self.axis
 
-        def local(cells, vol, grads, sort_idx, sorted_ids, c):
+        def local(cells, vol, grads, pull, c):
             cells, vol = cells[0], vol[0]
             ce = jnp.take(c, cells, axis=0)
             return jax.lax.psum(jnp.sum(vol * ce.mean(axis=0)), axis)
