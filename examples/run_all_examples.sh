@@ -9,7 +9,7 @@ for s in \
     examples/tumor_growth_2D_uniform.py \
     "examples/tumor_growth_2D_uniform_adjoint.py --n 15" \
     "examples/tumor_growth_2D_uniform_adjoint.py --n 12 --noise 0.02 --params 2" \
-    "examples/tumor_growth_2D_uniform_adjoint_noise.py --n 15" \
+    examples/tumor_growth_2D_uniform_adjoint_noise.py \
     examples/tumor_growth_2D_uniform_adjoint_reloaded.py \
     "examples/tumor_growth_2D_uniform_adjoint_custom_minimizer.py --n 15" \
     examples/tumor_growth_2D_uniform_reload.py \

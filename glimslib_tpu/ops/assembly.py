@@ -1,4 +1,4 @@
-"""Matrix-free P1 element assembly: gather -> per-cell math -> sorted scatter.
+"""Matrix-free P1 element assembly: row-gather -> per-cell math -> pull-gather.
 
 This module is the TPU-native replacement for DOLFIN's sparse-matrix assembly
 + PETSc (SURVEY.md §2.2): instead of assembling a CSR matrix, the residual of
@@ -6,13 +6,15 @@ the coupled tumor-growth system (reference weak forms at
 simulation_tumor_growth.py:110-122 and simulation_tumor_growth_brain_quad.py:83-105)
 is evaluated directly:
 
-  1. gather nodal values per cell           (``u[cells]``: HBM gather)
+  1. row-packed gather of nodal values per cell (all fields in one
+     multi-column row-gather — ~3x faster per row than scalar gathers)
   2. dense per-cell element math            (VPU-vectorized over cells)
-  3. scatter-add to nodes                   (sorted ``segment_sum``)
+  3. PULL-gather accumulation to nodes      (static incidence tables)
 
-The scatter uses a precomputed sort permutation of the COO row indices so the
-accumulation is a ``jax.ops.segment_sum`` with ``indices_are_sorted=True`` —
-much friendlier to XLA:TPU than random-access scatter-add.
+Node accumulation is the transpose gather, not segment_sum/scatter-add:
+measured on v5e, TPU scatters run at ~0.13 G elem/s while row-gathers run
+~40x faster, so each node gathers its incident element contributions
+through a precomputed padded table (``ScatterPlan``).
 
 Jacobian actions come for free via ``jax.jvp`` of these residuals; Jacobi
 preconditioner diagonals are assembled by the same scatter path.
@@ -526,10 +528,7 @@ class P1Kernels:
 
     def cell_vector_gradient(self, u):
         """Per-cell displacement gradient ∇u[a,b] = ∂u_a/∂x_b, (nc, d, d)."""
-        d = self.dim
-        ue = jnp.stack(
-            [jnp.take(u[:, a], self.cells_T, axis=0) for a in range(d)], axis=0
-        )
+        ue = jnp.transpose(self._gather_rows(u), (2, 0, 1))  # (d, npe, nc)
         grad_u = jnp.sum(ue[:, None, :, :] * self.grads_T.transpose(1, 0, 2)[None],
                          axis=2)
         return jnp.moveaxis(grad_u, -1, 0)
