@@ -325,13 +325,22 @@ class Simulation(ABC):
         # D/rho/mu/lam/coupling.  Do NOT stop_gradient the planes.
         # Pallas fused matvecs (TPU f32, unsharded): VMEM-resident vectors
         # with in-register rolls — bit-exact vs the XLA roll path, ~1.4x
-        # faster per CG iteration (ops/stencil_pallas.py)
+        # faster per CG iteration (ops/stencil_pallas.py).  Size-guarded:
+        # planes that exceed the VMEM working-set budget fall back to the
+        # XLA roll path instead of failing Mosaic compilation.
         from glimslib_tpu.ops import stencil_pallas as sp
 
         use_pallas = (
             sp.pallas_enabled()
             and self.dtype == jnp.float32
             and self._gspmd_mesh is None
+        )
+        n_off = len(ops.offsets)
+        use_pallas_scalar = use_pallas and sp.scalar_fits(
+            n_off, self.mesh.n_nodes
+        )
+        use_pallas_vector = use_pallas and sp.vector_fits(
+            n_off, self.mesh.n_nodes, self.mesh.dim
         )
 
         def rd_jacobian(theta, c):
@@ -343,7 +352,7 @@ class Simulation(ABC):
                 W = ops.build_rd_jacobian(
                     c, theta["D"], theta["rho"], theta["dt"], conc_max=1.0
                 )
-            if use_pallas:
+            if use_pallas_scalar:
                 return lambda v: sp.apply_scalar_pallas(ops.offsets, W, v)
             return lambda v: ops.apply_scalar(W, v)
 
@@ -351,7 +360,7 @@ class Simulation(ABC):
             W = theta.get("_Wel")
             if W is None:
                 W = ops.build_elasticity(theta["mu"], theta["lam"])
-            if use_pallas:
+            if use_pallas_vector:
                 return lambda u: sp.apply_vector_pallas(ops.offsets, W, u)
             return lambda u: ops.apply_vector(W, u)
 
@@ -368,9 +377,27 @@ class Simulation(ABC):
 
     def _augment_theta_with_operators(self, theta):
         """Precompute theta-only stencil planes (elasticity operator, its
-        block-Jacobi inverse, the constant part of the rd Jacobian)."""
+        block-Jacobi inverse, the constant part of the rd Jacobian), plus
+        theta-only preconditioner state for the gather path and the
+        Chebyshev spectral bounds — anything the scan body must not
+        rebuild per step."""
         ops = getattr(self, "_stencil_ops", None)
         if ops is None:
+            # gather (non-lattice) path: hoist the block-Jacobi elasticity
+            # preconditioner — it depends on theta only, and Dirichlet/
+            # unreferenced-node blocks are masked to identity here rather
+            # than inverted raw
+            if hasattr(self.kernels, "elasticity_diag_blocks") and hasattr(
+                self, "bcs"
+            ):
+                mask_u, _, _, _ = self._bc_masks_and_values()
+                B = self.kernels.elasticity_diag_blocks(
+                    theta["mu"], theta["lam"]
+                )
+                theta = dict(theta)
+                theta["_BinvG"] = self.kernels.block_jacobi_inverse_blocks(
+                    B, mask=mask_u
+                )
             return theta
         Wel = ops.build_elasticity(theta["mu"], theta["lam"])
         theta = dict(theta)
@@ -407,6 +434,35 @@ class Simulation(ABC):
                 )[None, :],
                 0,
             )
+        if self.step_config.precond_degree > 1:
+            # Chebyshev spectral bounds are step-invariant (the elasticity
+            # operator is theta-only; the rd Jacobian's logistic shift is
+            # absorbed by the estimate's safety factor + odd-degree
+            # positivity guard) — estimate once here, not per scan step
+            from glimslib_tpu.solvers.cg import estimate_lmax
+
+            mask_u, mask_c, _, _ = self._bc_masks_and_values()
+            Wel_ = theta["_Wel"]
+            Binv_ = theta["_Binv"]
+            Au = lambda v: jnp.where(
+                mask_u, v, ops.apply_vector(Wel_, jnp.where(mask_u, 0.0, v))
+            )
+            Mu = lambda r: jnp.where(
+                mask_u, r,
+                ops.apply_block_jacobi(Binv_, jnp.where(mask_u, 0.0, r)),
+            )
+            theta["_lmax_u"] = estimate_lmax(
+                Au, Mu, (self.mesh.n_nodes, self.mesh.dim), self.dtype
+            )
+            Wrd_ = theta["_Wrd_const"]
+            o0 = ops.offsets.index(0)
+            diag_c = jnp.where(mask_c, 1.0, Wrd_[o0])
+            Ac = lambda v: jnp.where(
+                mask_c, v, ops.apply_scalar(Wrd_, jnp.where(mask_c, 0.0, v))
+            )
+            theta["_lmax_c"] = estimate_lmax(
+                Ac, lambda r: r / diag_c, (self.mesh.n_nodes,), self.dtype
+            )
         return theta
 
     def _stencil_rd_residual_ok(self):
@@ -442,12 +498,16 @@ class Simulation(ABC):
             # gather-path block-Jacobi: per-node (d, d) diagonal blocks —
             # decisively better than the scalar diagonal for
             # near-incompressible elasticity (nu ~ 0.45) on unstructured
-            # meshes (mirrors the stencil path's _Binv)
+            # meshes (mirrors the stencil path's _Binv); the inverse is
+            # precomputed per theta in _augment_theta_with_operators
+            # ("_BinvG", mask-protected), with an in-step fallback
             kern = self.kernels
 
             def el_precond(theta):
-                B = kern.elasticity_diag_blocks(theta["mu"], theta["lam"])
-                Binv = kern.block_jacobi_inverse_blocks(B)
+                Binv = theta.get("_BinvG") if isinstance(theta, dict) else None
+                if Binv is None:
+                    B = kern.elasticity_diag_blocks(theta["mu"], theta["lam"])
+                    Binv = kern.block_jacobi_inverse_blocks(B, mask=mask_u)
                 return lambda r: kern.apply_block_jacobi(Binv, r)
 
         hi = self.hi_residual_fns() if self.step_config.refine_f64 else None

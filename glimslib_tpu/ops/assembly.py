@@ -121,13 +121,11 @@ def make_scatter_plan(index_map: np.ndarray, n_segments: int) -> ScatterPlan:
     )
 
 
-def scatter(plan: ScatterPlan, contrib_flat):
-    """Accumulate per-entry contributions into segments (nodes) by
-    pull-gather: pad with one zero row, gather (n_segments, K) incident
-    entries, reduce over K.
-
-    ``contrib_flat``: (n_entries, ...) — e.g. element residual contributions
-    flattened over (cell, local node).
+def pull_accumulate(pull_table_flat, n_segments: int, contrib_flat):
+    """Core pull-gather accumulation: pad contributions with one zero row
+    (the sentinel target), gather (n_segments * K) incident entries,
+    reduce over K.  Shared by :func:`scatter` and the shard-mapped kernels
+    (parallel/shard.py).
 
     TPU detail (measured): row-gathers of width >= 2 run ~3x faster per row
     than scalar gathers per element, so 1-D contributions are pulled as
@@ -140,11 +138,20 @@ def scatter(plan: ScatterPlan, contrib_flat):
         c = jnp.stack([c, c], axis=-1)
     pad_width = [(0, 1)] + [(0, 0)] * (c.ndim - 1)
     padded = jnp.pad(c, pad_width)
-    pulled = jnp.take(padded, jnp.asarray(plan.pull_table).ravel(), axis=0)
-    out = jnp.sum(
-        pulled.reshape((plan.n_segments, -1) + c.shape[1:]), axis=1
-    )
+    pulled = jnp.take(padded, pull_table_flat, axis=0)
+    out = jnp.sum(pulled.reshape((n_segments, -1) + c.shape[1:]), axis=1)
     return out[..., 0] if was_1d else out
+
+
+def scatter(plan: ScatterPlan, contrib_flat):
+    """Accumulate per-entry contributions into segments (nodes) by
+    pull-gather through the plan's static incidence table.
+
+    ``contrib_flat``: (n_entries, ...) — e.g. element residual contributions
+    flattened over (cell, local node)."""
+    return pull_accumulate(
+        jnp.asarray(plan.pull_table).ravel(), plan.n_segments, contrib_flat
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,33 @@ def _pad_len(n: int) -> int:
     return -(-n // _TILE) * _TILE
 
 
+# VMEM working-set budget for the kernels (v5e has ~16 MB/core; leave
+# headroom for double-buffering and the compiler)
+_VMEM_BUDGET = 12 * 1024 * 1024
+_GROUP = 5  # offsets streamed per grid step in the vector kernel
+
+
+def scalar_fits(n_off: int, n: int) -> bool:
+    """Whole scalar plane set + vectors must fit VMEM (no grid)."""
+    return (n_off + 2) * _pad_len(n) * 4 <= _VMEM_BUDGET
+
+
+def _pick_group(n: int, d: int) -> int:
+    """Largest offsets-per-grid-step group whose working set (double-
+    buffered plane block + in/out vectors) fits the VMEM budget; 0 if even
+    a single-offset block does not fit."""
+    npad = _pad_len(n)
+    for g in range(_GROUP, 0, -1):
+        if (2 * g * d * d + 2 * d) * npad * 4 <= _VMEM_BUDGET:
+            return g
+    return 0
+
+
+def vector_fits(n_off: int, n: int, d: int) -> bool:
+    """True when the streamed vector kernel can run at some group size."""
+    return _pick_group(n, d) > 0
+
+
 def _flat_roll(x2, k):
     """Roll the flattened view of x2 (R, 128) by -k (fetch x[i+k]); k static."""
     from jax.experimental.pallas import tpu as pltpu
@@ -162,7 +189,12 @@ def apply_vector_pallas(offsets, W, u):
     n, d = u.shape
     npad = _pad_len(n)
     R = npad // 128
-    group = 5
+    group = _pick_group(n, d)
+    if group == 0:
+        raise ValueError(
+            f"vector planes for n={n} exceed the VMEM budget; check "
+            "vector_fits() before calling"
+        )
     n_grp = -(-len(offsets) // group)
     pad_off = n_grp * group - len(offsets)
     Wp = jnp.pad(

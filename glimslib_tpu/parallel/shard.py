@@ -86,30 +86,41 @@ class ShardedP1Kernels:
         cells_T = np.ascontiguousarray(self.part.cells.transpose(0, 2, 1))
         grads_T = np.ascontiguousarray(self.part.grads.transpose(0, 2, 3, 1))
         per = cells_T.shape[-1]
-        # per-part PULL tables (see ops/assembly.py ScatterPlan): node
-        # accumulation as gathers, not segment_sum — TPU scatters are
-        # ~40x slower than row-gathers
+        # per-part COMPACT pull tables (see ops/assembly.py ScatterPlan):
+        # node accumulation as gathers, not segment_sum — TPU scatters are
+        # ~40x slower than row-gathers.  Each part accumulates only into
+        # the ~n/P (+halo) nodes its cells actually touch (rows of the
+        # compact table), then expands to the full node vector with one
+        # n-row placement gather — O(touched*K + n) per device instead of
+        # O(n*K), so per-device scatter work scales down with the device
+        # count.
         from glimslib_tpu.ops.assembly import make_scatter_plan
 
-        plans = [
-            make_scatter_plan(cells_T[p], mesh.n_nodes)
-            for p in range(n_parts)
-        ]
-        K = max(pl.pull_table.shape[1] for pl in plans)
         n_entries = self.npe * per
-        pull = np.full((n_parts, mesh.n_nodes, K), n_entries, dtype=np.int32)
+        touched = [np.unique(cells_T[p].ravel()) for p in range(n_parts)]
+        plans = []
+        for p in range(n_parts):
+            local_ids = np.searchsorted(touched[p], cells_T[p].ravel())
+            plans.append(make_scatter_plan(local_ids, len(touched[p])))
+        T = max(len(t) for t in touched)
+        K = max(pl.pull_table.shape[1] for pl in plans)
+        pull = np.full((n_parts, T, K), n_entries, dtype=np.int32)
+        g2c = np.zeros((n_parts, mesh.n_nodes), dtype=np.int32)
         for p, pl in enumerate(plans):
-            # re-point each part's sentinel to the shared one (n_entries)
             t = pl.pull_table.copy()
+            # re-point each part's sentinel to the shared one (n_entries)
             t[t == pl.n_entries] = n_entries
-            pull[p, :, : t.shape[1]] = t
+            pull[p, : t.shape[0], : t.shape[1]] = t
+            # placement: global node -> compact row + 1 (0 = untouched)
+            g2c[p, touched[p]] = np.arange(len(touched[p])) + 1
 
         self._shard = NamedSharding(device_mesh, P(self.axis))
         put = lambda a: jax.device_put(jnp.asarray(a), self._shard)
         self.cells_T = put(cells_T)  # (P, npe, C)
         self.vol = put(jnp.asarray(self.part.vol, dtype=dtype))  # (P, C)
         self.grads_T = put(jnp.asarray(grads_T, dtype=dtype))  # (P, npe, d, C)
-        self.pull_table = put(pull)  # (P, n_nodes, K)
+        self.pull_table = put(pull)  # (P, T, K) compact
+        self.g2c = put(g2c)  # (P, n_nodes)
         self._cell_perm = jnp.asarray(self.part.cell_perm)
 
     # -- plumbing ------------------------------------------------------------
@@ -122,28 +133,31 @@ class ShardedP1Kernels:
         return jnp.take(v, self._cell_perm, axis=0)
 
     def _run(self, local, cell_args, rep_args):
-        n_cell = 4 + len(cell_args)
+        n_cell = 5 + len(cell_args)
         in_specs = (P(self.axis),) * n_cell + (P(),) * len(rep_args)
         fn = shard_map(
             local, mesh=self.device_mesh, in_specs=in_specs, out_specs=P()
         )
         return fn(
-            self.cells_T, self.vol, self.grads_T, self.pull_table,
+            self.cells_T, self.vol, self.grads_T, self.pull_table, self.g2c,
             *cell_args, *rep_args,
         )
 
     @staticmethod
-    def _local_scatter(contrib_flat, pull, n_nodes, axis):
-        """Pull-gather accumulation + all-reduce (row-packed; 1-D
-        contributions pull as duplicated width-2 rows — see
-        ops/assembly.py scatter)."""
-        c = contrib_flat
-        was_1d = c.ndim == 1
+    def _local_scatter(contrib_flat, pull, g2c, n_nodes, axis):
+        """Compact pull-gather accumulation + placement + all-reduce.
+
+        Accumulates into the part's touched-node rows (shared core with
+        ops/assembly.py scatter), then expands to the full node vector via
+        the g2c placement gather (row 0 = untouched -> zero)."""
+        from glimslib_tpu.ops.assembly import pull_accumulate
+
+        compact = pull_accumulate(pull.ravel(), pull.shape[0], contrib_flat)
+        was_1d = compact.ndim == 1
         if was_1d:
-            c = jnp.stack([c, c], axis=-1)
-        padded = jnp.pad(c, [(0, 1)] + [(0, 0)] * (c.ndim - 1))
-        pulled = jnp.take(padded, pull.ravel(), axis=0)
-        out = jnp.sum(pulled.reshape((n_nodes, -1) + c.shape[1:]), axis=1)
+            compact = jnp.stack([compact, compact], axis=-1)
+        comp0 = jnp.pad(compact, [(1, 0)] + [(0, 0)] * (compact.ndim - 1))
+        out = jnp.take(comp0, g2c, axis=0)
         if was_1d:
             out = out[..., 0]
         return jax.lax.psum(out, axis)
@@ -164,15 +178,16 @@ class ShardedP1Kernels:
 
         gather_rows = self._gather_rows
 
-        def local(cells, vol, grads, pull, D, rho, src, c, c_prev, dt):
-            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
+        def local(cells, vol, grads, pull, g2c, D, rho, src, c, c_prev, dt):
+            cells, vol, grads = cells[0], vol[0], grads[0]
+            pull, g2c = pull[0], g2c[0]
             D, rho, src = D[0], rho[0], src[0]
             ge = gather_rows(jnp.stack([c, c_prev], axis=-1), cells)
             ce, cpe = ge[..., 0], ge[..., 1]  # (npe, C)
             contrib = rd_element_contrib(
                 ce, cpe, grads, vol, D, rho, dt, src, conc_max, m0, t0, dim
             )
-            return scatter(contrib.reshape(-1), pull, n_nodes, axis)
+            return scatter(contrib.reshape(-1), pull, g2c, n_nodes, axis)
 
         return self._run(
             local,
@@ -192,8 +207,9 @@ class ShardedP1Kernels:
 
         gather_rows = self._gather_rows
 
-        def local(cells, vol, grads, pull, mu, lam, coupling, u, c, bf):
-            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
+        def local(cells, vol, grads, pull, g2c, mu, lam, coupling, u, c, bf):
+            cells, vol, grads = cells[0], vol[0], grads[0]
+            pull, g2c = pull[0], g2c[0]
             mu, lam, coupling = mu[0], lam[0], coupling[0]
             # one width-(d+1) row-gather fetches u AND c per entry
             ge = gather_rows(jnp.concatenate([u, c[:, None]], axis=1), cells)
@@ -203,7 +219,7 @@ class ShardedP1Kernels:
                 ue, c_int, grads, vol, mu, lam, coupling, bf[:, None], dim
             )
             ent = jnp.moveaxis(contrib, 1, -1).reshape(-1, dim)
-            return scatter(ent, pull, n_nodes, axis)
+            return scatter(ent, pull, g2c, n_nodes, axis)
 
         return self._run(
             local,
@@ -217,11 +233,12 @@ class ShardedP1Kernels:
         m0 = self._m0
         scatter = self._local_scatter
 
-        def local(cells, vol, grads, pull, D, dt):
-            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
+        def local(cells, vol, grads, pull, g2c, D, dt):
+            cells, vol, grads = cells[0], vol[0], grads[0]
+            pull, g2c = pull[0], g2c[0]
             D = D[0]
             contrib = rd_diag_contrib(grads, vol, D, dt, m0, dim)
-            return scatter(contrib.reshape(-1), pull, n_nodes, axis)
+            return scatter(contrib.reshape(-1), pull, g2c, n_nodes, axis)
 
         return self._run(
             local, cell_args=(self._cellwise(D),),
@@ -232,12 +249,13 @@ class ShardedP1Kernels:
         axis, n_nodes, dim = self.axis, self.n_nodes, self.dim
         scatter = self._local_scatter
 
-        def local(cells, vol, grads, pull, mu, lam):
-            cells, vol, grads, pull = cells[0], vol[0], grads[0], pull[0]
+        def local(cells, vol, grads, pull, g2c, mu, lam):
+            cells, vol, grads = cells[0], vol[0], grads[0]
+            pull, g2c = pull[0], g2c[0]
             mu, lam = mu[0], lam[0]
             contrib = elasticity_diag_contrib(grads, vol, mu, lam)
             ent = jnp.moveaxis(contrib, 1, -1).reshape(-1, dim)
-            return scatter(ent, pull, n_nodes, axis)
+            return scatter(ent, pull, g2c, n_nodes, axis)
 
         return self._run(
             local, cell_args=(self._cellwise(mu), self._cellwise(lam)),
@@ -249,11 +267,11 @@ class ShardedP1Kernels:
         m0 = self._m0
         scatter = self._local_scatter
 
-        def local(cells, vol, grads, pull, c):
-            cells, vol, pull = cells[0], vol[0], pull[0]
+        def local(cells, vol, grads, pull, g2c, c):
+            cells, vol, pull, g2c = cells[0], vol[0], pull[0], g2c[0]
             ce = jnp.take(c, cells, axis=0)
             contrib = vol * (m0 * (jnp.sum(ce, axis=0) + ce))
-            return scatter(contrib.reshape(-1), pull, n_nodes, axis)
+            return scatter(contrib.reshape(-1), pull, g2c, n_nodes, axis)
 
         return self._run(local, cell_args=(), rep_args=(c,))
 
@@ -263,20 +281,20 @@ class ShardedP1Kernels:
         scatter = self._local_scatter
         gather_rows = self._gather_rows
 
-        def local(cells, vol, grads, pull, u):
-            cells, vol, pull = cells[0], vol[0], pull[0]
+        def local(cells, vol, grads, pull, g2c, u):
+            cells, vol, pull, g2c = cells[0], vol[0], pull[0], g2c[0]
             ue = gather_rows(u, cells)  # (npe, C, d)
             contrib = vol[None, :, None] * m0 * (
                 jnp.sum(ue, axis=0, keepdims=True) + ue
             )
-            return scatter(contrib.reshape(-1, dim), pull, n_nodes, axis)
+            return scatter(contrib.reshape(-1, dim), pull, g2c, n_nodes, axis)
 
         return self._run(local, cell_args=(), rep_args=(u,))
 
     def integrate_p1(self, c):
         axis = self.axis
 
-        def local(cells, vol, grads, pull, c):
+        def local(cells, vol, grads, pull, g2c, c):
             cells, vol = cells[0], vol[0]
             ce = jnp.take(c, cells, axis=0)
             return jax.lax.psum(jnp.sum(vol * ce.mean(axis=0)), axis)

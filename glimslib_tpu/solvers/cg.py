@@ -99,6 +99,14 @@ def make_chebyshev_precond(A, Minner, lmax, degree, lmin_factor=1.0 / 30.0):
     ``degree-1`` extra matvecs but removes the per-iteration loop/reduction
     overhead of many CG steps).
     """
+    # Positivity guard: for eigenvalues ABOVE the targeted lmax, the
+    # residual polynomial of the Chebyshev iteration can overshoot so that
+    # lam*p(lam) < 0 for EVEN degrees, making the preconditioner indefinite
+    # and breaking CG.  Odd degrees keep lam*p(lam) > 0 for all lam > 0, so
+    # the degree is rounded up to odd; the spectral estimate's safety
+    # factor then only affects convergence rate, never definiteness.
+    if degree % 2 == 0:
+        degree = degree + 1
     lmin = lmin_factor * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)

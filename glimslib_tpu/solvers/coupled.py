@@ -164,14 +164,18 @@ def make_step(
         Mc = lambda r: r / diag_c
         c0 = jnp.where(mask_c, gc, c_prev)
         if cfg.precond_degree > 1:
-            # spectral bound for the Chebyshev polynomial, estimated once per
-            # step at c0 (the logistic term shifts the spectrum only mildly
-            # within a Newton solve; the safety factor absorbs it)
-            if rd_jacobian is not None:
-                A0 = _op_masked(rd_jacobian(theta, c0), mask_c)
+            # spectral bound for the Chebyshev polynomial: precomputed in
+            # theta when available (_augment_theta_with_operators — the
+            # bound is step-invariant up to the safety factor), else
+            # estimated once per step at c0
+            if isinstance(theta, dict) and "_lmax_c" in theta:
+                lmax_c = theta["_lmax_c"]
             else:
-                A0 = _masked_operator(resid_c, c0, mask_c)
-            lmax_c = estimate_lmax(A0, Mc, c0.shape, c0.dtype)
+                if rd_jacobian is not None:
+                    A0 = _op_masked(rd_jacobian(theta, c0), mask_c)
+                else:
+                    A0 = _masked_operator(resid_c, c0, mask_c)
+                lmax_c = estimate_lmax(A0, Mc, c0.shape, c0.dtype)
         else:
             lmax_c = None
 
@@ -238,7 +242,10 @@ def make_step(
         else:
             Au = _masked_operator(resid_u, u0, mask_u)
         if cfg.precond_degree > 1:
-            lmax_u = estimate_lmax(Au, Mu, u0.shape, u0.dtype)
+            if isinstance(theta, dict) and "_lmax_u" in theta:
+                lmax_u = theta["_lmax_u"]
+            else:
+                lmax_u = estimate_lmax(Au, Mu, u0.shape, u0.dtype)
             Mu_solve = make_chebyshev_precond(Au, Mu, lmax_u, cfg.precond_degree)
         else:
             Mu_solve = Mu
@@ -303,7 +310,10 @@ def make_step(
         else:
             Au = _masked_operator(lambda uu: resid_u(uu, c, theta), u, mask_u)
         if cfg.precond_degree > 1:
-            lmax_u = estimate_lmax(Au, Mu, u.shape, u.dtype)
+            if isinstance(theta, dict) and "_lmax_u" in theta:
+                lmax_u = theta["_lmax_u"]
+            else:
+                lmax_u = estimate_lmax(Au, Mu, u.shape, u.dtype)
             Mu = make_chebyshev_precond(Au, Mu, lmax_u, cfg.precond_degree)
         lam_u, _ = pcg(
             Au, jnp.where(mask_u, 0.0, u_bar), M=Mu,
@@ -319,7 +329,10 @@ def make_step(
             Ac = _masked_operator(lambda cc: resid_c(cc, c_prev, theta), c, mask_c)
         Mc = lambda r: r / diag_c
         if cfg.precond_degree > 1:
-            lmax_c = estimate_lmax(Ac, Mc, c.shape, c.dtype)
+            if isinstance(theta, dict) and "_lmax_c" in theta:
+                lmax_c = theta["_lmax_c"]
+            else:
+                lmax_c = estimate_lmax(Ac, Mc, c.shape, c.dtype)
             Mc = make_chebyshev_precond(Ac, Mc, lmax_c, cfg.precond_degree)
         lam_c, _ = pcg(
             Ac, jnp.where(mask_c, 0.0, rhs_c), M=Mc,

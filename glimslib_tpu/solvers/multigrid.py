@@ -246,76 +246,65 @@ class LatticeHierarchy:
         return self.n_levels >= 2
 
 
-class MGElasticity:
-    """V(1,1)-cycle preconditioner for the vector elasticity block."""
+class _MGBase:
+    """Shared V(1,1)-cycle machinery: per-level Dirichlet masks by
+    injection, Chebyshev smoothing on the upper spectrum, exact-adjoint
+    transfers.  Subclasses provide the level operator apply, the inner
+    preconditioner apply, and the per-level operator data (``build``)."""
 
-    def __init__(self, hierarchy: LatticeHierarchy, mask_u,
+    def __init__(self, hierarchy: LatticeHierarchy, mask,
                  smooth_degree=3, coarse_degree=40, smooth_lmin_factor=0.125):
         self.h = hierarchy
         self.smooth_degree = smooth_degree
         self.coarse_degree = coarse_degree
         self.smooth_lmin_factor = smooth_lmin_factor
-        # per-level masks by injection
-        self.masks = [jnp.asarray(mask_u)]
-        m = np.asarray(mask_u)
+        self.masks = [jnp.asarray(mask)]
+        m = np.asarray(mask)
         for lv in range(1, hierarchy.n_levels):
             m = inject_mask(m, hierarchy.shapes[lv - 1], hierarchy.ndim)
             self.masks.append(jnp.asarray(m))
 
-    # -- traced operator data (planes/Binv/lmax per level) -------------------
+    # subclass hooks -------------------------------------------------------
 
-    def build(self, mu, lam):
-        """Build per-level operator data (a pytree carried in theta)."""
-        h = self.h
-        data = []
-        mu_l, lam_l = mu, lam
-        for lv in range(h.n_levels):
-            if lv > 0:
-                mu_l = restrict_cell_coeff(mu_l, h.tables[lv - 1])
-                lam_l = restrict_cell_coeff(lam_l, h.tables[lv - 1])
-            ops = h.ops[lv]
-            W = ops.build_elasticity(mu_l, lam_l)
-            Binv = ops.block_jacobi_inverse(W, mask=self.masks[lv])
-            A = self._masked_op(lv, W)
-            M = self._binv_apply(lv, Binv)
-            n = h.meshes[lv].n_nodes
-            lmax = estimate_lmax(A, M, (n, h.ndim), W.dtype)
-            data.append({"W": W, "Binv": Binv, "lmax": lmax})
-        return tuple(data)
+    def _apply_op(self, lv, data_lv, v):
+        raise NotImplementedError
 
-    def _masked_op(self, lv, W):
+    def _apply_inner(self, lv, data_lv, r):
+        raise NotImplementedError
+
+    def _masked_op(self, lv, data_lv):
         mask = self.masks[lv]
-        ops = self.h.ops[lv]
 
         def A(v):
-            return jnp.where(mask, v, ops.apply_vector(
-                W, jnp.where(mask, 0.0, v)))
+            return jnp.where(
+                mask, v, self._apply_op(lv, data_lv, jnp.where(mask, 0.0, v))
+            )
 
         return A
 
-    def _binv_apply(self, lv, Binv):
+    def _masked_inner(self, lv, data_lv):
         mask = self.masks[lv]
-        ops = self.h.ops[lv]
 
         def M(r):
-            return jnp.where(mask, r, ops.apply_block_jacobi(
-                Binv, jnp.where(mask, 0.0, r)))
+            return jnp.where(
+                mask, r,
+                self._apply_inner(lv, data_lv, jnp.where(mask, 0.0, r)),
+            )
 
         return M
 
-    # -- application ---------------------------------------------------------
+    # application ----------------------------------------------------------
 
     def apply(self, data, r):
-        """V-cycle approximate solve: r (n, d) -> x (n, d)."""
+        """V-cycle approximate solve on the finest level."""
         return self._cycle(0, data, r)
 
     def _cycle(self, lv, data, r):
         h = self.h
-        W, Binv, lmax = data[lv]["W"], data[lv]["Binv"], data[lv]["lmax"]
-        A = self._masked_op(lv, W)
-        M_in = self._binv_apply(lv, Binv)
-        last = lv == h.n_levels - 1
-        if last:
+        lmax = data[lv]["lmax"]
+        A = self._masked_op(lv, data[lv])
+        M_in = self._masked_inner(lv, data[lv])
+        if lv == h.n_levels - 1:
             return make_chebyshev_precond(A, M_in, lmax, self.coarse_degree)(r)
         # smoother: damp the upper spectrum only (classic Chebyshev
         # smoothing interval) — a wide interval at low degree smooths
@@ -334,21 +323,39 @@ class MGElasticity:
         return x
 
 
-class MGScalar:
+class MGElasticity(_MGBase):
+    """V(1,1)-cycle preconditioner for the vector elasticity block."""
+
+    def build(self, mu, lam):
+        """Build per-level operator data (a pytree carried in theta)."""
+        h = self.h
+        data = []
+        mu_l, lam_l = mu, lam
+        for lv in range(h.n_levels):
+            if lv > 0:
+                mu_l = restrict_cell_coeff(mu_l, h.tables[lv - 1])
+                lam_l = restrict_cell_coeff(lam_l, h.tables[lv - 1])
+            ops = h.ops[lv]
+            W = ops.build_elasticity(mu_l, lam_l)
+            Binv = ops.block_jacobi_inverse(W, mask=self.masks[lv])
+            d = {"W": W, "Binv": Binv}
+            A = self._masked_op(lv, d)
+            M = self._masked_inner(lv, d)
+            n = h.meshes[lv].n_nodes
+            d["lmax"] = estimate_lmax(A, M, (n, h.ndim), W.dtype)
+            data.append(d)
+        return tuple(data)
+
+    def _apply_op(self, lv, data_lv, v):
+        return self.h.ops[lv].apply_vector(data_lv["W"], v)
+
+    def _apply_inner(self, lv, data_lv, r):
+        return self.h.ops[lv].apply_block_jacobi(data_lv["Binv"], r)
+
+
+class MGScalar(_MGBase):
     """V(1,1)-cycle preconditioner for the scalar concentration block
     (operator M + dt·D·K, rebuilt per Newton iteration via its planes)."""
-
-    def __init__(self, hierarchy: LatticeHierarchy, mask_c,
-                 smooth_degree=3, coarse_degree=40, smooth_lmin_factor=0.125):
-        self.h = hierarchy
-        self.smooth_degree = smooth_degree
-        self.coarse_degree = coarse_degree
-        self.smooth_lmin_factor = smooth_lmin_factor
-        self.masks = [jnp.asarray(mask_c)]
-        m = np.asarray(mask_c)
-        for lv in range(1, hierarchy.n_levels):
-            m = inject_mask(m, hierarchy.shapes[lv - 1], hierarchy.ndim)
-            self.masks.append(jnp.asarray(m))
 
     def build(self, D, rho, dt, conc_max=1.0):
         """Per-level planes of the *constant* part of the rd Jacobian
@@ -367,47 +374,16 @@ class MGScalar:
             diag = W[o0]
             mask = self.masks[lv]
             diag = jnp.where(mask, 1.0, jnp.where(diag > 0, diag, 1.0))
-            A = self._masked_op(lv, W)
-            M = lambda r, d_=diag, m_=mask: jnp.where(m_, r, r / d_)
+            d = {"W": W, "diag": diag}
+            A = self._masked_op(lv, d)
+            M = self._masked_inner(lv, d)
             n = h.meshes[lv].n_nodes
-            lmax = estimate_lmax(A, M, (n,), W.dtype)
-            data.append({"W": W, "diag": diag, "lmax": lmax})
+            d["lmax"] = estimate_lmax(A, M, (n,), W.dtype)
+            data.append(d)
         return tuple(data)
 
-    def _masked_op(self, lv, W):
-        mask = self.masks[lv]
-        ops = self.h.ops[lv]
+    def _apply_op(self, lv, data_lv, v):
+        return self.h.ops[lv].apply_scalar(data_lv["W"], v)
 
-        def A(v):
-            return jnp.where(mask, v, ops.apply_scalar(
-                W, jnp.where(mask, 0.0, v)))
-
-        return A
-
-    def apply(self, data, r):
-        return self._cycle(0, data, r)
-
-    def _cycle(self, lv, data, r):
-        h = self.h
-        W, diag, lmax = data[lv]["W"], data[lv]["diag"], data[lv]["lmax"]
-        mask = self.masks[lv]
-        A = self._masked_op(lv, W)
-        M_in = lambda rr: jnp.where(mask, rr, rr / diag)
-        last = lv == h.n_levels - 1
-        if last:
-            return make_chebyshev_precond(A, M_in, lmax, self.coarse_degree)(r)
-        # smoother: damp the upper spectrum only (classic Chebyshev
-        # smoothing interval) — a wide interval at low degree smooths
-        # nothing and stalls the cycle
-        S = make_chebyshev_precond(
-            A, M_in, lmax, self.smooth_degree,
-            lmin_factor=self.smooth_lmin_factor,
-        )
-        x = S(r)
-        rc = restrict(r - A(x), h.shapes[lv], h.ndim)
-        rc = jnp.where(self.masks[lv + 1], 0.0, rc)
-        xc = self._cycle(lv + 1, data, rc)
-        corr = prolong(xc, h.shapes[lv + 1], h.ndim)
-        x = x + jnp.where(mask, 0.0, corr)
-        x = x + S(r - A(x))
-        return x
+    def _apply_inner(self, lv, data_lv, r):
+        return r / data_lv["diag"]
