@@ -294,8 +294,59 @@ class Simulation(ABC):
 
     # operator mode: 'auto' uses the assembled offset-stencil operators on
     # lattice meshes (ops/stencil.py — streaming CG instead of gather-bound
-    # jvp); 'matrix-free' forces the gather path (e.g. for sharded runs)
+    # jvp) and assembled block-ELL operators on unstructured meshes
+    # (ops/ell.py — one row-gather per matvec instead of jvp-ing the
+    # gather/pull residual); 'matrix-free' forces the jvp path everywhere
     operator_mode = "auto"
+
+    _ell_plan = None
+
+    def _ell_builders(self):
+        """Assembled block-ELL Jacobian operators for unstructured meshes
+        (the non-lattice analogue of _stencil_builders)."""
+        if self.operator_mode == "matrix-free":
+            return None, None
+        if self.mesh.lattice_strides is not None:
+            return None, None  # stencil path owns lattice meshes
+        if type(self.kernels).__name__ != "P1Kernels":
+            return None, None  # sharded runs keep the shard-mapped path
+        from glimslib_tpu.ops import ell as ell_mod
+
+        if self._ell_plan is None:
+            self._ell_plan = ell_mod.EllPlan(self.mesh)
+        plan = self._ell_plan
+        adj = jnp.asarray(plan.adj)
+        kern = self.kernels
+        arrays = (kern.grads_T, kern.vol)
+
+        def el_operator(theta):
+            B = theta.get("_EllWel") if isinstance(theta, dict) else None
+            if B is None:
+                B = ell_mod.build_ell_elasticity(
+                    plan, arrays, theta["mu"], theta["lam"], self.dtype
+                )
+            return lambda u: ell_mod.apply_ell_vector(adj, B, u)
+
+        rd_jacobian = None
+        if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
+
+            def rd_jacobian(theta, c):
+                W = (
+                    theta.get("_EllWrd")
+                    if isinstance(theta, dict) else None
+                )
+                if W is None:
+                    W = ell_mod.build_ell_rd_const(
+                        plan, arrays, theta["D"], theta["rho"],
+                        theta["dt"], kern._m0, self.dtype,
+                    )
+                W = W + ell_mod.build_ell_rd_wc(
+                    plan, arrays, kern.cells_flat, c, theta["rho"],
+                    theta["dt"], kern._t0, 1.0, self.dtype,
+                )
+                return lambda v: ell_mod.apply_ell_scalar(adj, W, v)
+
+        return rd_jacobian, el_operator
 
     def _stencil_builders(self):
         if self.operator_mode == "matrix-free":
@@ -398,6 +449,24 @@ class Simulation(ABC):
                 theta["_BinvG"] = self.kernels.block_jacobi_inverse_blocks(
                     B, mask=mask_u
                 )
+            # assembled block-ELL operators (ops/ell.py): the theta-only
+            # elasticity values and the constant part of the rd Jacobian
+            # assemble once per simulate, like the stencil planes
+            if self._ell_builders()[1] is not None:
+                from glimslib_tpu.ops import ell as ell_mod
+
+                plan = self._ell_plan
+                kern = self.kernels
+                arrays = (kern.grads_T, kern.vol)
+                theta = dict(theta)
+                theta["_EllWel"] = ell_mod.build_ell_elasticity(
+                    plan, arrays, theta["mu"], theta["lam"], self.dtype
+                )
+                if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
+                    theta["_EllWrd"] = ell_mod.build_ell_rd_const(
+                        plan, arrays, theta["D"], theta["rho"],
+                        theta["dt"], kern._m0, self.dtype,
+                    )
             return theta
         Wel = ops.build_elasticity(theta["mu"], theta["lam"])
         theta = dict(theta)
@@ -492,6 +561,8 @@ class Simulation(ABC):
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()
         rd_jacobian, el_operator, el_precond = self._stencil_builders()
+        if rd_jacobian is None and el_operator is None:
+            rd_jacobian, el_operator = self._ell_builders()
         if el_precond is None and hasattr(
             self.kernels, "elasticity_diag_blocks"
         ):
