@@ -189,3 +189,27 @@ def test_p2_l2_projection_parity():
     # projection != interpolation for a cubic
     interp = f(ref.dof_coords2)
     assert np.linalg.norm(want - interp) / np.linalg.norm(want) > 1e-6
+
+
+def test_p2_forward_parity_unstructured(tmp_path):
+    """Quad model on an unstructured (lattice-stripped, RCM-reordered)
+    mesh: the P1 elasticity block rides the assembled block-ELL operator
+    (ops/ell.py) while the P2 concentration stays matrix-free — forward
+    parity vs the scipy P2 FEM must hold regardless of operator mode."""
+    from glimslib_tpu.core.mesh import Mesh
+
+    m0 = box_mesh((0, 0, 0), (10, 10, 10), 4, 4, 4)
+    mesh = Mesh.from_arrays(m0.points, m0.cells).reordered_rcm()
+    assert mesh.lattice_strides is None
+    sim = _build_quad_sim(mesh)
+    # the ELL elasticity operator must actually be in play
+    rd_j, el_op = sim._ell_builders()
+    assert el_op is not None and rd_j is None  # P2 rd stays matrix-free
+    sim.run(save_method=None, plot=False, output_dir=str(tmp_path))
+    u_ref, c_ref = _reference_run(sim, mesh, 3)
+    c = np.asarray(sim.solution[1])
+    u = np.asarray(sim.solution[0])
+    rel_c = np.linalg.norm(c - c_ref) / np.linalg.norm(c_ref)
+    rel_u = np.linalg.norm(u - u_ref) / max(np.linalg.norm(u_ref), 1e-30)
+    assert rel_c < 1e-6, rel_c
+    assert rel_u < 1e-6, rel_u
