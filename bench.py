@@ -229,6 +229,9 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline_sps, 4),
     }
+    # emit the primary metric immediately: if the extras below are cut off
+    # by a driver timeout, the last complete JSON line still carries it
+    print(json.dumps(record), flush=True)
     if os.environ.get("GLIMS_BENCH_EXTRAS", "1") != "0":
         extras = {}
         try:
