@@ -284,28 +284,49 @@ class BoundaryConditions:
                         "von Neumann BCs on degree-2 vector subspaces are "
                         "not supported (reference has no such case)"
                     )
-                kern = _p2_facet_kernels(m, fidx, ss.n_dofs)
+
+                def factory(dtype, m=m, fidx=fidx, nd=ss.n_dofs):
+                    return _p2_facet_kernels(m, fidx, nd, dtype=dtype)
             else:
-                kern = _facet_kernels(m, fidx, n_nodes)
+
+                def factory(dtype, m=m, fidx=fidx, nn=n_nodes):
+                    return _facet_kernels(m, fidx, nn, dtype=dtype)
+
             self.von_neumann_bcs[bc_name] = {
                 "bc_value": bc_dict["bc_value"],
-                "kernels": kern,
+                "kernels": factory(self.dtype),
+                "kernel_factory": factory,
                 "subspace_id": subspace_id,
                 "facet_idx": fidx,
                 "facet_cells": m.boundary_facet_cell[fidx],
             }
 
-    def von_neumann_residual(self, subspace_id: int, t=0.0, scale=1.0):
+    def von_neumann_kernels(self, bc, hi=False):
+        """Facet kernels of one vN BC entry; ``hi=True`` returns (and caches)
+        an f64-table rebuild for mixed-precision refinement defect residuals
+        (advisor r2: hi residuals must not reuse working-dtype facet
+        tables)."""
+        if not hi:
+            return bc["kernels"]
+        if "kernels_hi" not in bc:
+            import jax.numpy as jnp
+
+            bc["kernels_hi"] = bc["kernel_factory"](jnp.float64)
+        return bc["kernels_hi"]
+
+    def von_neumann_residual(self, subspace_id: int, t=0.0, scale=1.0,
+                             hi=False):
         """Sum of surface-integral contributions ∫ q φ_i ds (scalar subspace)
         or ∫ t·v ds (vector subspace) for all BCs on ``subspace_id``; returns
         None when there are none.  ``scale`` multiplies the value (used for
         the dt·D factor the reference applies at
-        simulation_tumor_growth.py:120)."""
+        simulation_tumor_growth.py:120).  ``hi=True`` evaluates with f64
+        facet tables (mixed-precision refinement defect residuals)."""
         out = None
         for name, bc in self.von_neumann_bcs.items():
             if bc["subspace_id"] != subspace_id:
                 continue
-            kern = bc["kernels"]
+            kern = self.von_neumann_kernels(bc, hi=hi)
             val = bc["bc_value"]
             ss = self._functionspace.subspaces.get_subspace(subspace_id)
             if callable(val):

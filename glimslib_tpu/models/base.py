@@ -240,7 +240,9 @@ class Simulation(ABC):
         )
         self.subdomains.setup_measures()
         self._setup_functionspace()
-        self.bcs = BoundaryConditions(self.functionspace, self.subdomains)
+        self.bcs = BoundaryConditions(
+            self.functionspace, self.subdomains, dtype=self.dtype
+        )
         self.bcs.setup_dirichlet_boundary_conditions(dirichlet_bcs)
         self.bcs.setup_von_neumann_boundary_conditions(von_neumann_bcs)
 
@@ -350,13 +352,14 @@ class Simulation(ABC):
 
     def _stencil_builders(self):
         if self.operator_mode == "matrix-free":
-            return None, None, None
+            return None, None, None, None, None
         if self.mesh.lattice_strides is None:
-            return None, None, None
+            return None, None, None, None, None
         if getattr(self, "CONCENTRATION_DEGREE", 1) != 1:
-            return None, None, None
+            return None, None, None, None, None
         if type(self.kernels).__name__ != "P1Kernels":
-            return None, None, None  # sharded runs keep the shard-mapped path
+            # sharded runs keep the shard-mapped path
+            return None, None, None, None, None
         from glimslib_tpu.ops.stencil import StencilOperators
 
         shard_ctx = (
@@ -423,8 +426,72 @@ class Simulation(ABC):
                 )
             return lambda r: ops.apply_block_jacobi(Binv, r)
 
+        # Whole-solve fused PCG kernels (ops/pallas_cg.py): replace the XLA
+        # op-by-op CG loop with one pallas_call per solve — VMEM-resident
+        # vectors, double-buffered plane streaming.  Same linear systems and
+        # stopping rule as solvers/cg.py:pcg (interpret-mode equivalence
+        # tested in tests/test_pallas_cg.py).  Gated to the default
+        # block-Jacobi/Jacobi preconditioning (chebyshev stays on pcg).
+        from glimslib_tpu.ops import pallas_cg as pcck
+
+        rd_cg = el_cg = None
+        n = self.mesh.n_nodes
+        d = self.mesh.dim
+        if (
+            pcck.fused_cg_enabled()
+            and self.dtype == jnp.float32
+            and self._gspmd_mesh is None
+            and self.step_config.precond_degree <= 1
+            and pcck.scalar_cg_fits(n_off, n)
+            and pcck.vector_cg_fits(n_off, n, d)
+        ):
+            mask_u_, mask_c_, _, _ = self._bc_masks_and_values()
+            cfg = self.step_config
+
+            def rd_cg(theta, c, rhs, _mask_c=mask_c_):
+                if "_Wrd_const" in theta:
+                    W = theta["_Wrd_const"] + ops.build_rd_wc(
+                        c, theta["rho"], theta["dt"], conc_max=1.0
+                    )
+                else:
+                    W = ops.build_rd_jacobian(
+                        c, theta["D"], theta["rho"], theta["dt"], conc_max=1.0
+                    )
+                Wt = pcck.tile_scalar_planes(
+                    pcck.fold_mask_scalar(ops.offsets, W, _mask_c), n
+                )
+                invdt = theta.get("_invdT")
+                if invdt is None:
+                    invdt = pcck.tile_field(
+                        pcck.fold_mask_invdiag(self.rd_diag(theta), _mask_c),
+                        n,
+                    )
+                return pcck.cg_scalar(
+                    ops.offsets, Wt, invdt, rhs,
+                    cfg.cg_rtol, cfg.cg_atol, cfg.cg_maxiter, n,
+                )
+
+            def el_cg(theta, rhs, _mask_u=mask_u_):
+                Wt = theta.get("_WelT")
+                Binvt = theta.get("_BinvT")
+                if Wt is None:
+                    Wel = ops.build_elasticity(theta["mu"], theta["lam"])
+                    Wt = pcck.tile_vector_planes(
+                        pcck.fold_mask_vector(ops.offsets, Wel, _mask_u), n
+                    )
+                    Binvt = pcck.tile_binv(
+                        pcck.fold_mask_binv(
+                            ops.block_jacobi_inverse(Wel), _mask_u
+                        ),
+                        n,
+                    )
+                return pcck.cg_vector(
+                    ops.offsets, Wt, Binvt, rhs,
+                    cfg.cg_rtol, cfg.cg_atol, cfg.cg_maxiter, n,
+                )
+
         self._stencil_ops = ops
-        return rd_jacobian, el_operator, el_precond
+        return rd_jacobian, el_operator, el_precond, rd_cg, el_cg
 
     def _augment_theta_with_operators(self, theta):
         """Precompute theta-only stencil planes (elasticity operator, its
@@ -475,6 +542,24 @@ class Simulation(ABC):
         # instead of replicating
         theta["_Wel"] = self._shard_nodes(Wel, -1)
         theta["_Binv"] = self._shard_nodes(ops.block_jacobi_inverse(Wel), -1)
+        if getattr(self, "_fused_cg", False):
+            # mask-folded pre-tiled operator state for the whole-solve
+            # Pallas CG kernels (ops/pallas_cg.py) — theta-only, built once
+            # per simulate so the scan body never refolds the elasticity
+            # planes
+            from glimslib_tpu.ops import pallas_cg as pcck
+
+            mask_u_, mask_c_, _, _ = self._bc_masks_and_values()
+            n = self.mesh.n_nodes
+            theta["_WelT"] = pcck.tile_vector_planes(
+                pcck.fold_mask_vector(ops.offsets, Wel, mask_u_), n
+            )
+            theta["_BinvT"] = pcck.tile_binv(
+                pcck.fold_mask_binv(theta["_Binv"], mask_u_), n
+            )
+            theta["_invdT"] = pcck.tile_field(
+                pcck.fold_mask_invdiag(self.rd_diag(theta), mask_c_), n
+            )
         theta["_Wrd_const"] = self._shard_nodes(
             ops.build_rd_jacobian_const(theta["D"], theta["rho"], theta["dt"]), -1
         )
@@ -529,8 +614,20 @@ class Simulation(ABC):
             Ac = lambda v: jnp.where(
                 mask_c, v, ops.apply_scalar(Wrd_, jnp.where(mask_c, 0.0, v))
             )
-            theta["_lmax_c"] = estimate_lmax(
+            lmax_const = estimate_lmax(
                 Ac, lambda r: r / diag_c, (self.mesh.n_nodes,), self.dtype
+            )
+            # the per-Newton logistic correction +2·dt·rho·∫c φiφj/c_max can
+            # push eigenvalues above the constant-plane estimate (advisor
+            # r2); its Jacobi-preconditioned spectrum is bounded by the row
+            # sums ∫c φi ≤ lumped_mass_i (c ≤ c_max), so fold that in
+            lumped = self.kernels.lumped_mass()
+            rho_max = jnp.max(jnp.atleast_1d(theta["rho"]))
+            logistic_bound = 2.0 * theta["dt"] * rho_max * jnp.max(
+                jnp.where(mask_c, 0.0, lumped / diag_c)
+            )
+            theta["_lmax_c"] = lmax_const + jax.lax.stop_gradient(
+                logistic_bound
             )
         return theta
 
@@ -560,7 +657,10 @@ class Simulation(ABC):
 
     def _build_step(self):
         mask_u, mask_c, gu, gc = self._bc_masks_and_values()
-        rd_jacobian, el_operator, el_precond = self._stencil_builders()
+        (rd_jacobian, el_operator, el_precond, rd_cg, el_cg) = (
+            self._stencil_builders()
+        )
+        self._fused_cg = el_cg is not None
         if rd_jacobian is None and el_operator is None:
             rd_jacobian, el_operator = self._ell_builders()
         if el_precond is None and hasattr(
@@ -597,6 +697,8 @@ class Simulation(ABC):
             el_precond=el_precond,
             rd_residual_hi=hi[0] if hi else None,
             el_residual_hi=hi[1] if hi else None,
+            rd_cg=rd_cg,
+            el_cg=el_cg,
         )
 
     def build_simulate_fn(self, n_steps: int, dt: float):

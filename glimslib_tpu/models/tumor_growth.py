@@ -97,24 +97,29 @@ class TumorGrowth(Simulation):
     _source_t = None
     _body_force_t = None
 
-    def _midpoints(self):
-        if not hasattr(self, "_cell_mid_jnp"):
-            self._cell_mid_jnp = jnp.asarray(
-                self.mesh.cell_midpoints, dtype=self.dtype
-            )
-        return self._cell_mid_jnp
+    def _midpoints(self, hi=False):
+        """Cell midpoints at the working dtype, or f64 (``hi=True``) for
+        mixed-precision refinement defect residuals (advisor r2)."""
+        attr = "_cell_mid_jnp_hi" if hi else "_cell_mid_jnp"
+        if not hasattr(self, attr):
+            setattr(self, attr, jnp.asarray(
+                self.mesh.cell_midpoints,
+                dtype=jnp.float64 if hi else self.dtype,
+            ))
+        return getattr(self, attr)
 
     # -- residuals -----------------------------------------------------------
 
-    def _vn_rd_term(self, theta, t):
+    def _vn_rd_term(self, theta, t, hi=False):
         """- dt * sum_bcs ∫ D q φ ds  (reference l.120: test function scaled
         by diff_const).  Per-facet D taken from the owning cell when D is
-        heterogeneous."""
+        heterogeneous.  ``hi=True``: f64 facet tables + value evaluation."""
+        vdtype = jnp.float64 if hi else self.dtype
         out = None
         for name, bc in self.bcs.von_neumann_bcs.items():
             if bc["subspace_id"] != self.SUBSPACE_CONCENTRATION:
                 continue
-            kern = bc["kernels"]
+            kern = self.bcs.von_neumann_kernels(bc, hi=hi)
             q = bc["bc_value"]
             # value points: facet nodes (P1 kernels) or facet quadrature
             # points (P2 trace kernels) — coords (nf, k, dim)
@@ -122,10 +127,10 @@ class TumorGrowth(Simulation):
             if callable(q):
                 qv = jnp.reshape(
                     q(coords.reshape(-1, coords.shape[-1]), t), coords.shape[:2]
-                )
+                ).astype(vdtype)
             else:
                 qv = jnp.broadcast_to(
-                    jnp.asarray(q, self.dtype), coords.shape[:2]
+                    jnp.asarray(q, vdtype), coords.shape[:2]
                 )
             D = theta["D"]
             if D.ndim == 0:
@@ -218,13 +223,13 @@ class TumorGrowth(Simulation):
             source = theta["source"]
             if self._source_t is not None:
                 source = source + jnp.asarray(
-                    self._source_t(self._midpoints(), t), jnp.float64
+                    self._source_t(self._midpoints(hi=True), t), jnp.float64
                 )
             r = k64.rd_residual(
                 c, c_prev, theta["D"], theta["rho"], theta["dt"],
                 source=source, conc_max=1.0,
             )
-            vn = self._vn_rd_term(theta, t)
+            vn = self._vn_rd_term(theta, t, hi=True)
             if vn is not None:
                 r = r - theta["dt"] * vn
             return r
@@ -233,13 +238,16 @@ class TumorGrowth(Simulation):
             bf = theta["body_force"]
             if self._body_force_t is not None:
                 bf = bf + jnp.asarray(
-                    self._body_force_t(self._midpoints(), t), jnp.float64
+                    self._body_force_t(self._midpoints(hi=True), t),
+                    jnp.float64,
                 )
             r = k64.elasticity_residual(
                 u, c, theta["mu"], theta["lam"], theta["coupling"],
                 body_force=bf,
             )
-            vn = self.bcs.von_neumann_residual(self.SUBSPACE_DISPLACEMENT, t)
+            vn = self.bcs.von_neumann_residual(
+                self.SUBSPACE_DISPLACEMENT, t, hi=True
+            )
             if vn is not None:
                 r = r - vn
             return r

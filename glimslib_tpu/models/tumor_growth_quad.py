@@ -80,7 +80,7 @@ class TumorGrowth(_TumorGrowthP1):
                 c, c_prev, theta["D"], theta["rho"], theta["dt"],
                 source=theta["source"], conc_max=1.0,
             )
-            vn = self._vn_rd_term(theta, t)
+            vn = self._vn_rd_term(theta, t, hi=True)
             if vn is not None:
                 r = r - theta["dt"] * vn
             return r
@@ -91,7 +91,9 @@ class TumorGrowth(_TumorGrowthP1):
                 u, c_int, theta["mu"], theta["lam"], theta["coupling"],
                 body_force=theta["body_force"],
             )
-            vn = self.bcs.von_neumann_residual(self.SUBSPACE_DISPLACEMENT, t)
+            vn = self.bcs.von_neumann_residual(
+                self.SUBSPACE_DISPLACEMENT, t, hi=True
+            )
             if vn is not None:
                 r = r - vn
             return r

@@ -387,6 +387,46 @@ class StencilOperators:
             x = jnp.pad(x, (0, self.vol.shape[-1] - x.shape[0]))
         return x
 
+    def _gather_ce(self, c):
+        """Element-node values (npe, nc) of a nodal field.
+
+        Lattice fast path: on a strided-dense voxel-major lattice, cell
+        (voxel v, group g) node i sits at lattice position v + corner(g, i),
+        so ``ce`` is 2^d static corner SLICES of the node lattice interleaved
+        over groups — pure streaming.  The generic ``jnp.take`` gather costs
+        ~6.7 ms at 197k cells on v5e (measured r3) and this path replaces it
+        with ~0.1 ms of slicing; it is the dominant cost of every Newton
+        residual/Jacobian build on the streaming rd path."""
+        lat = self.plan._lattice
+        if (
+            lat is None
+            or self.plan.cell_pad
+            or not all(
+                g["strided"] is not None and g["dense"] for g in lat["groups"]
+            )
+        ):
+            return jnp.take(c, self.cells_T, axis=0)
+        shape = lat["shape"]
+        vox = lat["vox_shape"]
+        d = len(shape)
+        c3d = c.reshape(shape)
+        blocks = {}
+        for g in lat["groups"]:
+            for ci in g["corners"]:
+                if ci not in blocks:
+                    sl = tuple(
+                        slice(ci[a], ci[a] + vox[a]) for a in range(d)
+                    )
+                    blocks[ci] = c3d[sl].reshape(-1)
+        by_off = sorted(lat["groups"], key=lambda g: g["strided"][0])
+        cols = []
+        for i in range(self.npe):
+            gstack = jnp.stack(
+                [blocks[g["corners"][i]] for g in by_off], axis=-1
+            )  # (nvox, ng): cell index = vox * ng + group offset
+            cols.append(gstack.reshape(-1))
+        return jnp.stack(cols)
+
     # -- builders ------------------------------------------------------------
 
     def build_rd_jacobian(self, c, D, rho, dt, conc_max=1.0):
@@ -394,7 +434,7 @@ class StencilOperators:
         npe = self.npe
         v = self.vol
         g = self.grads_T
-        ce = jnp.take(c, self.cells_T, axis=0)  # (npe, nc)
+        ce = self._gather_ce(c)  # (npe, nc)
         S = jnp.sum(ce, axis=0)
         D = self._cell_coeff(D)
         rho = self._cell_coeff(rho)
@@ -438,7 +478,7 @@ class StencilOperators:
     def build_rd_wc(self, c, rho, dt, conc_max=1.0):
         """State-dependent part of J_cc: (2 dt rho / c_max) W(c) — rebuilt
         per Newton iteration."""
-        ce = jnp.take(c, self.cells_T, axis=0)
+        ce = self._gather_ce(c)
         S = jnp.sum(ce, axis=0)
         rho = self._cell_coeff(rho)
         eye = jnp.eye(self.npe, dtype=self.dtype)

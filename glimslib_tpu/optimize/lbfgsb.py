@@ -158,7 +158,12 @@ def minimize_lbfgsb(
         logger.info("-- Finished Optimization (custom): %s", res.message)
         return np.asarray(res.x), progress, res
 
-    options = {"maxiter": maxiter}
+    # TNC spells the evaluation budget 'maxfun'; passing 'maxiter' raises
+    # an unknown-option OptimizeWarning (scipy _minimize_tnc signature)
+    options = (
+        {"maxfun": maxiter} if method.upper() == "TNC"
+        else {"maxiter": maxiter}
+    )
     if method.upper() in ("L-BFGS-B", "TNC"):
         options["gtol"] = gtol
     res = scipy_minimize(

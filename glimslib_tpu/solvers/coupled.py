@@ -104,6 +104,8 @@ def make_step(
     el_precond: Callable = None,  # (theta) -> callable(r) ~ A_uu^{-1} r
     rd_residual_hi: Callable = None,  # f64-kernel residuals for refine_f64
     el_residual_hi: Callable = None,
+    rd_cg: Callable = None,  # (theta, c, rhs) -> (dc, info): fused in-kernel
+    el_cg: Callable = None,  # (theta, rhs) -> (du, info): PCG solves
 ):
     """Build the differentiable coupled step:
 
@@ -112,7 +114,12 @@ def make_step(
     When ``rd_jacobian``/``el_operator`` are given (the assembled
     offset-stencil fast path, ops/stencil.py), CG applies those operators
     instead of jvp-ing the gather-based residuals — identical linear
-    systems, streaming memory access."""
+    systems, streaming memory access.
+
+    When ``rd_cg``/``el_cg`` are given (the fused whole-solve Pallas
+    kernels, ops/pallas_cg.py — TPU f32 lattice path only), they REPLACE
+    the ``pcg`` solves entirely: same linear systems, same stopping rule,
+    but the CG loop runs in a single kernel with VMEM-resident vectors."""
     cfg = config
 
     def _op_masked(raw_op, mask):
@@ -204,8 +211,11 @@ def make_step(
             else:
                 Mc_solve = Mc
             rhs = jnp.where(mask_c, 0.0, -r)
-            dc, _ = pcg(A, rhs, M=Mc_solve, rtol=cfg.cg_rtol, atol=cfg.cg_atol,
-                        maxiter=cfg.cg_maxiter)
+            if rd_cg is not None:
+                dc, _ = rd_cg(theta, c, rhs)
+            else:
+                dc, _ = pcg(A, rhs, M=Mc_solve, rtol=cfg.cg_rtol,
+                            atol=cfg.cg_atol, maxiter=cfg.cg_maxiter)
             c_new = c + dc
             r_new = resid_c_eval(c_new)
             fn_new = jnp.sqrt(jnp.sum(r_new**2))
@@ -250,14 +260,17 @@ def make_step(
         else:
             Mu_solve = Mu
         rhs_u = jnp.where(mask_u, 0.0, -ru)
-        du, info_u = pcg(
-            Au,
-            rhs_u,
-            M=Mu_solve,
-            rtol=cfg.cg_rtol,
-            atol=cfg.cg_atol,
-            maxiter=cfg.cg_maxiter,
-        )
+        if el_cg is not None:
+            du, info_u = el_cg(theta, rhs_u)
+        else:
+            du, info_u = pcg(
+                Au,
+                rhs_u,
+                M=Mu_solve,
+                rtol=cfg.cg_rtol,
+                atol=cfg.cg_atol,
+                maxiter=cfg.cg_maxiter,
+            )
         u = u0 + du
         # A stalled elasticity CG (maxiter without reaching tolerance) must
         # freeze the trajectory like a failed Newton does — mirror pcg's own
@@ -271,10 +284,15 @@ def make_step(
             # one f64-residual correction pass (classic iterative
             # refinement: f32 operator solves the f64 defect equation)
             ru2 = resid_u_hi(u, c).astype(u_prev.dtype)
-            du2, _ = pcg(
-                Au, jnp.where(mask_u, 0.0, -ru2), M=Mu_solve,
-                rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
-            )
+            rhs_u2 = jnp.where(mask_u, 0.0, -ru2)
+            if el_cg is not None:
+                du2, _ = el_cg(theta, rhs_u2)
+            else:
+                du2, _ = pcg(
+                    Au, rhs_u2, M=Mu_solve,
+                    rtol=cfg.cg_rtol, atol=cfg.cg_atol,
+                    maxiter=cfg.cg_maxiter,
+                )
             u = u + du2
             conv_u = jnp.logical_and(conv_u, jnp.isfinite(jnp.sum(du2)))
         return u, c, jnp.logical_and(conv_c, conv_u), k
@@ -315,10 +333,13 @@ def make_step(
             else:
                 lmax_u = estimate_lmax(Au, Mu, u.shape, u.dtype)
             Mu = make_chebyshev_precond(Au, Mu, lmax_u, cfg.precond_degree)
-        lam_u, _ = pcg(
-            Au, jnp.where(mask_u, 0.0, u_bar), M=Mu,
-            rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
-        )
+        if el_cg is not None:
+            lam_u, _ = el_cg(theta, jnp.where(mask_u, 0.0, u_bar))
+        else:
+            lam_u, _ = pcg(
+                Au, jnp.where(mask_u, 0.0, u_bar), M=Mu,
+                rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
+            )
         # rhs for c adjoint: c_bar - (dR_u/dc)^T lam_u
         _, vjp_u = jax.vjp(lambda cc, th: resid_u(u, cc, th), c, theta)
         dRu_dc_T_lam, theta_bar_u = vjp_u(lam_u)
@@ -334,10 +355,13 @@ def make_step(
             else:
                 lmax_c = estimate_lmax(Ac, Mc, c.shape, c.dtype)
             Mc = make_chebyshev_precond(Ac, Mc, lmax_c, cfg.precond_degree)
-        lam_c, _ = pcg(
-            Ac, jnp.where(mask_c, 0.0, rhs_c), M=Mc,
-            rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
-        )
+        if rd_cg is not None:
+            lam_c, _ = rd_cg(theta, c, jnp.where(mask_c, 0.0, rhs_c))
+        else:
+            lam_c, _ = pcg(
+                Ac, jnp.where(mask_c, 0.0, rhs_c), M=Mc,
+                rtol=cfg.cg_rtol, atol=cfg.cg_atol, maxiter=cfg.cg_maxiter,
+            )
         # parameter + c_prev cotangents via residual VJPs
         _, vjp_c = jax.vjp(lambda cp, th: resid_c(c, cp, th), c_prev, theta)
         c_prev_bar_neg, theta_bar_c = vjp_c(lam_c)

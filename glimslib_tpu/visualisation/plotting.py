@@ -40,11 +40,12 @@ def plot_scalar_field(mesh, values, path=None, title=None, cmap="viridis",
     if own_fig:
         fig, ax = plt.subplots(figsize=(6, 5))
     vals = np.asarray(values, dtype=np.float64).copy()
+    excluded = np.zeros(vals.shape, dtype=bool)
     if exclude_below is not None:
-        vals[vals < exclude_below] = np.nan
+        excluded |= vals < exclude_below
     if exclude_around is not None:
         center, tol = exclude_around
-        vals[np.abs(vals - center) <= tol] = np.nan
+        excluded |= np.abs(vals - center) <= tol
     kw = {}
     if range_f is not None:
         lo, hi = range_f
@@ -53,8 +54,16 @@ def plot_scalar_field(mesh, values, path=None, title=None, cmap="viridis",
             levels = np.linspace(lo, hi, (levels or 32) + 1)
     if cmap_ref is not None:
         kw["norm"] = helpers.MidpointNormalize(midpoint=cmap_ref)
-    # all-NaN guard: tricontourf fails on empty data
-    if not np.isfinite(vals).any():
+    # excluded regions are masked OUT of the triangulation (reference
+    # exclude_* semantics leave them unplotted), never rendered at value 0
+    if excluded.any():
+        tri.set_mask(excluded[tri.triangles].any(axis=1))
+    vals = np.where(excluded, 0.0, vals)  # masked tris ignore these values
+    # all-NaN/all-masked guard: tricontourf fails on empty data
+    if not np.isfinite(vals).any() or (
+        excluded.any() and tri.mask is not None and tri.mask.all()
+    ):
+        tri.set_mask(None)
         vals = np.zeros_like(vals)
     tpc = ax.tricontourf(tri, np.nan_to_num(vals), levels=levels
                          if levels is not None else 32, cmap=cmap,

@@ -209,11 +209,18 @@ class ReferenceFEM:
         dirichlet_conc_values=None,
         newton_tol=1e-12,
         max_newton=30,
+        linear_solver="direct",
     ):
         """One implicit-Euler step of the coupled system, Newton + spsolve.
 
         Solves the RD equation for c (nonlinear), then elasticity for u —
         the exact block-triangular structure of the monolithic Jacobian.
+
+        ``linear_solver``: 'direct' (spsolve — the small-mesh default) or
+        'cg' (ILU-preconditioned scipy CG, the practical CPU choice at
+        reference-flagship scale where direct 3D factorizations blow up;
+        the same solver class FEniCS/PETSc uses for these meshes,
+        reference simulation_base.py:101-102 'cg'+'amg').
         """
         m = self.mesh
         d = self.dim
@@ -248,7 +255,7 @@ class ReferenceFEM:
                 J = J.tocsr()
             if np.linalg.norm(R) < newton_tol:
                 break
-            dc = spla.spsolve(J.tocsc(), -R)
+            dc = self._linsolve(J, -R, linear_solver)
             c = c + dc
 
         # elasticity: K_u u = C c (+ dirichlet)
@@ -268,8 +275,25 @@ class ReferenceFEM:
             Ku[:, ddofs] = 0
             Ku[ddofs, ddofs] = 1.0
             Ku = Ku.tocsr()
-        u = spla.spsolve(Ku.tocsc(), rhs)
+        u = self._linsolve(Ku, rhs, linear_solver)
         return u.reshape(m.n_nodes, d), c
+
+    def _linsolve(self, A, b, linear_solver):
+        """Direct spsolve or ILU-preconditioned CG (rtol 1e-7 — the same
+        convergence target the JAX f32 path solves to)."""
+        if linear_solver == "direct":
+            return spla.spsolve(A.tocsc(), b)
+        A = A.tocsc()
+        try:
+            ilu = spla.spilu(A, drop_tol=1e-5, fill_factor=10.0)
+            M = spla.LinearOperator(A.shape, ilu.solve)
+        except (MemoryError, RuntimeError):
+            dg = A.diagonal()
+            M = spla.LinearOperator(A.shape, lambda r: r / dg)
+        x, info = spla.cg(A, b, rtol=1e-7, atol=0.0, maxiter=5000, M=M)
+        if info != 0:  # fall back to direct rather than return junk
+            return spla.spsolve(A, b)
+        return x
 
     # weighted helpers with cellwise weights ---------------------------------
 

@@ -132,7 +132,7 @@ def test_use_sharding_auto_picks_nodes_mode():
     assert sim.sharding_mode == "nodes"
     # the stencil fast path must stay enabled (kernels NOT swapped)
     assert type(sim.kernels).__name__ == "P1Kernels"
-    rdj, elop, elpre = sim._stencil_builders()
+    rdj, elop, elpre, _, _ = sim._stencil_builders()
     assert rdj is not None and elop is not None
 
     import tempfile

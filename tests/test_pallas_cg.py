@@ -1,0 +1,144 @@
+"""Fused whole-solve Pallas CG kernels (ops/pallas_cg.py): mask folding,
+interpret-mode kernel equivalence with solvers.cg.pcg, and end-to-end
+step equivalence of the fused path on a small lattice model.
+
+The kernels replace PETSc-KSP-style op-by-op Krylov loops on the TPU
+lattice fast path (reference SNES solves, simulation_base.py:277-312).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from glimslib_tpu.core.mesh import box_mesh
+from glimslib_tpu.ops import pallas_cg as pc
+from glimslib_tpu.ops.stencil import StencilOperators
+from glimslib_tpu.solvers.cg import pcg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 6, 6, 6)
+    n, d = mesh.n_nodes, mesh.dim
+    ops = StencilOperators(mesh, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    mask_np = np.zeros((n, d), bool)
+    mask_np[mesh.boundary_nodes] = True
+    mask_u = jnp.asarray(mask_np)
+    Wel = ops.build_elasticity(
+        jnp.asarray(1.0, jnp.float32), jnp.asarray(9.0, jnp.float32)
+    )
+    Binv = ops.block_jacobi_inverse(Wel)
+    return mesh, ops, mask_u, Wel, Binv, rng
+
+
+def test_fold_mask_equivalence(setup):
+    """Folded planes reproduce the where-masked operator exactly."""
+    mesh, ops, mask_u, Wel, Binv, rng = setup
+    n, d = mesh.n_nodes, mesh.dim
+    v = jnp.asarray(rng.randn(n, d), jnp.float32)
+    Au = lambda x: jnp.where(
+        mask_u, x, ops.apply_vector(Wel, jnp.where(mask_u, 0.0, x))
+    )
+    Wm = pc.fold_mask_vector(ops.offsets, Wel, mask_u)
+    assert np.allclose(Au(v), ops.apply_vector(Wm, v), atol=1e-6)
+
+    Mu = lambda r: jnp.where(
+        mask_u, r, ops.apply_block_jacobi(Binv, jnp.where(mask_u, 0.0, r))
+    )
+    Bm = pc.fold_mask_binv(Binv, mask_u)
+    assert np.allclose(Mu(v), ops.apply_block_jacobi(Bm, v), atol=1e-6)
+
+    mask_c = jnp.asarray(np.isin(np.arange(n), mesh.boundary_nodes[:20]))
+    c = jnp.asarray(rng.rand(n), jnp.float32)
+    W = ops.build_rd_jacobian(
+        c, jnp.asarray(0.1, jnp.float32), jnp.asarray(0.1, jnp.float32), 1.0
+    )
+    Ac = lambda x: jnp.where(
+        mask_c, x, ops.apply_scalar(W, jnp.where(mask_c, 0.0, x))
+    )
+    Wms = pc.fold_mask_scalar(ops.offsets, W, mask_c)
+    vs = jnp.asarray(rng.randn(n), jnp.float32)
+    assert np.allclose(Ac(vs), ops.apply_scalar(Wms, vs), atol=1e-6)
+
+
+def test_kernel_cg_matches_pcg_interpret(setup, monkeypatch):
+    """Interpret-mode kernel solves match pcg: identical iteration counts
+    and matching solutions (same update order, same stopping rule)."""
+    monkeypatch.setenv("GLIMS_PALLAS_INTERPRET", "1")
+    mesh, ops, mask_u, Wel, Binv, rng = setup
+    n, d = mesh.n_nodes, mesh.dim
+    b = jnp.where(mask_u, 0.0, jnp.asarray(rng.randn(n, d), jnp.float32))
+
+    Au = lambda v: jnp.where(
+        mask_u, v, ops.apply_vector(Wel, jnp.where(mask_u, 0.0, v))
+    )
+    Mu = lambda r: jnp.where(
+        mask_u, r, ops.apply_block_jacobi(Binv, jnp.where(mask_u, 0.0, r))
+    )
+    x_ref, info_ref = pcg(Au, b, M=Mu, rtol=1e-6, atol=0.0, maxiter=400)
+    Wt = pc.tile_vector_planes(pc.fold_mask_vector(ops.offsets, Wel, mask_u), n)
+    Bt = pc.tile_binv(pc.fold_mask_binv(Binv, mask_u), n)
+    x_k, info_k = pc.cg_vector(ops.offsets, Wt, Bt, b, 1e-6, 0.0, 400, n)
+    assert int(info_k["iters"]) == int(info_ref["iters"])
+    err = np.abs(np.asarray(x_ref - x_k)).max() / np.abs(x_ref).max()
+    assert err < 1e-4, err
+
+    mask_c = jnp.asarray(np.zeros(n, bool))
+    c = jnp.asarray(rng.rand(n), jnp.float32)
+    W = ops.build_rd_jacobian(
+        c, jnp.asarray(0.1, jnp.float32), jnp.asarray(0.1, jnp.float32), 1.0
+    )
+    diag = W[list(ops.offsets).index(0)]
+    bs = jnp.asarray(rng.randn(n), jnp.float32)
+    Ac = lambda v: ops.apply_scalar(W, v)
+    xs_ref, is_ref = pcg(
+        Ac, bs, M=lambda r: r / diag, rtol=1e-6, atol=0.0, maxiter=400
+    )
+    Wts = pc.tile_scalar_planes(pc.fold_mask_scalar(ops.offsets, W, mask_c), n)
+    invdt = pc.tile_field(pc.fold_mask_invdiag(diag, mask_c), n)
+    xs_k, is_k = pc.cg_scalar(ops.offsets, Wts, invdt, bs, 1e-6, 0.0, 400, n)
+    assert int(is_k["iters"]) == int(is_ref["iters"])
+    errs = np.abs(np.asarray(xs_ref - xs_k)).max() / np.abs(xs_ref).max()
+    assert errs < 1e-4, errs
+
+
+def _small_sim(dtype):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _brain_sim
+    from glimslib_tpu.solvers.coupled import StepConfig
+
+    sim = _brain_sim(n=6, dims=3, dtype=dtype)
+    sim.step_config = StepConfig(
+        newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=400
+    )
+    return sim
+
+
+def test_fused_step_matches_default(monkeypatch):
+    """End-to-end: the fused-CG simulate trajectory (interpret mode)
+    matches the default pcg path on the same f32 lattice model."""
+    sim = _small_sim(jnp.float32)
+    theta = sim.make_theta(sim.params.as_dict())
+    iv = sim.params.create_initial_value_function()
+    u0 = jnp.asarray(iv[0], jnp.float32)
+    c0 = jnp.asarray(iv[1], jnp.float32)
+
+    sim_d = jax.jit(sim.build_simulate_fn(3, 1.0))
+    u_x, c_x, ok_x, _ = jax.block_until_ready(sim_d(theta, u0, c0))
+    assert np.asarray(ok_x).all()
+
+    monkeypatch.setenv("GLIMS_PALLAS_INTERPRET", "1")
+    sim2 = _small_sim(jnp.float32)
+    sim2_d = jax.jit(sim2.build_simulate_fn(3, 1.0))
+    assert sim2._fused_cg, "fused CG path not engaged under interpret mode"
+    u_f, c_f, ok_f, _ = jax.block_until_ready(sim2_d(theta, u0, c0))
+    assert np.asarray(ok_f).all()
+    cerr = np.abs(np.asarray(c_f - c_x)).max() / np.abs(c_x).max()
+    uerr = np.abs(np.asarray(u_f - u_x)).max() / (np.abs(u_x).max() + 1e-30)
+    assert cerr < 5e-4, cerr
+    assert uerr < 5e-3, uerr
