@@ -95,7 +95,7 @@ def run_unstructured(n=None):
 
     sim = _brain_sim(n=n, dims=3, dtype=dtype,
                      mesh_transform=lambda m: Mesh.from_arrays(
-                         m.points, m.cells).reordered_rcm())
+                         m.points, m.cells).reordered_morton())
     if dtype == jnp.float32:
         sim.step_config = StepConfig(
             newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=800,
@@ -109,12 +109,16 @@ def run_unstructured(n=None):
     u0 = jnp.asarray(iv[0], dtype=dtype)
     c0 = jnp.asarray(iv[1], dtype=dtype)
     simulate = jax.jit(sim.build_simulate_fn(N_STEPS, 1.0))
-    out = simulate(theta, u0, c0)
+    # frozen two-level coarse + mode arrays ride as a jit ARGUMENT
+    # (solvers/twolevel.py; a closure constant would cost ~240 s compile)
+    aux = sim.runtime_aux()
+    args = (theta, u0, c0, aux) if aux else (theta, u0, c0)
+    out = simulate(*args)
     jax.block_until_ready(out)
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = simulate(theta, u0, c0)
+        out = simulate(*args)
         jax.block_until_ready(out)
     dt_run = (time.perf_counter() - t0) / reps
     ok = np.asarray(out[2])

@@ -302,24 +302,107 @@ class Simulation(ABC):
     operator_mode = "auto"
 
     _ell_plan = None
+    _bell_plan = None
+
+    def _use_bell(self):
+        """Supernode halo-ELL (ops/bell.py) replaces node block-ELL on the
+        unstructured path unless disabled (GLIMS_BELL=0): ~3x fewer
+        gathered rows per matvec via per-supernode halo dedup."""
+        import os as _os
+
+        return (
+            _os.environ.get("GLIMS_BELL", "1") != "0"
+            and self.operator_mode != "matrix-free"
+            and self.mesh.lattice_strides is None
+            and type(self.kernels).__name__ == "P1Kernels"
+        )
+
+    def _get_bell_plan(self):
+        if self._bell_plan is None:
+            import os as _os
+
+            from glimslib_tpu.ops import bell as bell_mod
+
+            self._bell_plan = bell_mod.BellPlan(
+                self.mesh, s=int(_os.environ.get("GLIMS_BELL_S", "32"))
+            )
+        return self._bell_plan
+
+    @staticmethod
+    def _bell_tables_from(theta):
+        """Theta-borne bell plan tables (threaded via runtime_aux as jit
+        arguments — as closure constants they blow the axon remote-compile
+        payload limit), or None to fall back to plan constants (small
+        CPU-test meshes)."""
+        if isinstance(theta, dict) and "_BellPlace" in theta:
+            return {k: theta[k] for k in (
+                "_BellDiagPull", "_BellOffPull", "_BellPlace", "_BellHalo")}
+        return None
 
     def _ell_builders(self):
-        """Assembled block-ELL Jacobian operators for unstructured meshes
-        (the non-lattice analogue of _stencil_builders)."""
+        """Assembled operators for unstructured meshes (the non-lattice
+        analogue of _stencil_builders): supernode halo-ELL (ops/bell.py)
+        by default, node block-ELL (ops/ell.py) as fallback."""
         if self.operator_mode == "matrix-free":
             return None, None
         if self.mesh.lattice_strides is not None:
             return None, None  # stencil path owns lattice meshes
         if type(self.kernels).__name__ != "P1Kernels":
             return None, None  # sharded runs keep the shard-mapped path
+        kern = self.kernels
+        arrays = (kern.grads_T, kern.vol)
+        if self._use_bell():
+            from glimslib_tpu.ops import bell as bell_mod
+
+            bplan = self._get_bell_plan()
+            tb_of = self._bell_tables_from
+
+            def el_operator(theta):
+                tb = tb_of(theta)
+                halo = (tb or bplan.tables())["_BellHalo"]
+                W = (
+                    theta.get("_BellWel")
+                    if isinstance(theta, dict) else None
+                )
+                if W is None:
+                    W = bell_mod.build_bell_elasticity(
+                        bplan, arrays, theta["mu"], theta["lam"],
+                        self.dtype, tables=tb,
+                    )
+                return lambda u: bell_mod.apply_bell_vector(
+                    bplan, halo, W, u
+                )
+
+            rd_jacobian = None
+            if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
+
+                def rd_jacobian(theta, c):
+                    tb = tb_of(theta)
+                    halo = (tb or bplan.tables())["_BellHalo"]
+                    W = (
+                        theta.get("_BellWrdC")
+                        if isinstance(theta, dict) else None
+                    )
+                    if W is None:
+                        W = bell_mod.build_bell_rd_const(
+                            bplan, arrays, theta["D"], theta["rho"],
+                            theta["dt"], kern._m0, self.dtype, tables=tb,
+                        )
+                    W = W + bell_mod.build_bell_rd_wc(
+                        bplan, arrays, kern.cells_flat, c, theta["rho"],
+                        theta["dt"], kern._t0, 1.0, self.dtype, tables=tb,
+                    )
+                    return lambda v: bell_mod.apply_bell_scalar(
+                        bplan, halo, W, v
+                    )
+
+            return rd_jacobian, el_operator
         from glimslib_tpu.ops import ell as ell_mod
 
         if self._ell_plan is None:
             self._ell_plan = ell_mod.EllPlan(self.mesh)
         plan = self._ell_plan
         adj = jnp.asarray(plan.adj)
-        kern = self.kernels
-        arrays = (kern.grads_T, kern.vol)
 
         def el_operator(theta):
             B = theta.get("_EllWel") if isinstance(theta, dict) else None
@@ -349,6 +432,94 @@ class Simulation(ABC):
                 return lambda v: ell_mod.apply_ell_scalar(adj, W, v)
 
         return rd_jacobian, el_operator
+
+    # -- two-level coarse preconditioner (unstructured elasticity) ----------
+
+    _twolevel_cache = None
+    _twolevel_plan = None
+
+    def _twolevel_eligible(self):
+        import os as _os
+
+        if _os.environ.get("GLIMS_TWOLEVEL", "1") == "0":
+            return False
+        if (
+            self.mesh.lattice_strides is not None
+            or type(self.kernels).__name__ != "P1Kernels"
+            or self.operator_mode == "matrix-free"
+        ):
+            return False
+        return self.mesh.n_nodes >= int(
+            _os.environ.get("GLIMS_TWOLEVEL_MIN_NODES", "4000")
+        )
+
+    def _twolevel_aggplan(self):
+        """Host-side aggregation plan (static shapes only) for the affine
+        coarse level; the heavy arrays live in :meth:`runtime_aux`."""
+        import os as _os
+
+        if not self._twolevel_eligible():
+            return None
+        if self._twolevel_plan is None:
+            from glimslib_tpu.solvers import twolevel as tl
+
+            self._twolevel_plan = tl.AggPlan(
+                self.mesh,
+                agg_size=int(_os.environ.get("GLIMS_TWOLEVEL_AGG", "64")),
+            )
+        return self._twolevel_plan
+
+    def runtime_aux(self):
+        """Runtime operator/preconditioner arrays to pass to ``simulate(...,
+        aux=...)`` as a jit ARGUMENT (never close over them: a 182 MB
+        closure constant costs ~240 s of XLA compile per program, and
+        embedded constants above ~100 MB blow the axon remote-compile
+        payload limit outright).
+
+        Carries (a) the supernode halo-ELL plan tables (ops/bell.py —
+        static int32 incidence/placement tables, tens of MB at flagship
+        scale) and (b) the affine two-level coarse inverse for the
+        unstructured elasticity CG (solvers/twolevel.py; replaces the
+        role of PETSc AMG, reference simulation_base.py:101-103), built
+        ONCE from the setup-time parameters and frozen across theta
+        updates — a preconditioner shapes iteration counts only, so the
+        freeze never changes solutions or gradients.  Measured with the
+        supernode smoother: 163 -> 57 elasticity CG iterations at n=24
+        (tools/bench_twolevel.py).  Returns {} when not applicable."""
+        out = {}
+        if self._use_bell() and self._ell_builders()[1] is not None:
+            out.update(self._get_bell_plan().tables())
+        agg = self._twolevel_aggplan()
+        if agg is None:
+            return out
+        if self._twolevel_cache is None:
+            import numpy as _np
+
+            from glimslib_tpu.ops import ell as ell_mod
+            from glimslib_tpu.solvers import twolevel as tl
+
+            try:
+                theta0 = self.make_theta(self.params.as_dict())
+            except Exception:
+                return out
+            mask_u, _, _, _ = self._bc_masks_and_values()
+            kern = self.kernels
+            if self._ell_plan is None:
+                # node adjacency feeds only this one-time coarse build;
+                # runtime operators may be on the supernode halo-ELL path
+                self._ell_plan = ell_mod.EllPlan(self.mesh)
+            plan = self._ell_plan
+            B = ell_mod.build_ell_elasticity(
+                plan, (kern.grads_T, kern.vol), theta0["mu"],
+                theta0["lam"], self.dtype,
+            )
+            Ac = tl.build_coarse(agg, jnp.asarray(plan.adj), B, mask_u)
+            Cinv = tl.coarse_inverse(Ac)
+            f = 1.0 - _np.asarray(mask_u).astype(_np.float64)
+            Mt = agg.mode_matrix(f).astype(self.dtype)
+            self._twolevel_cache = {"_TLCinv": Cinv, "_TLMt": Mt}
+        out.update(self._twolevel_cache)
+        return out
 
     def _stencil_builders(self):
         if self.operator_mode == "matrix-free":
@@ -505,9 +676,15 @@ class Simulation(ABC):
             # preconditioner — it depends on theta only, and Dirichlet/
             # unreferenced-node blocks are masked to identity here rather
             # than inverted raw
-            if hasattr(self.kernels, "elasticity_diag_blocks") and hasattr(
-                self, "bcs"
+            if (
+                hasattr(self.kernels, "elasticity_diag_blocks")
+                and hasattr(self, "bcs")
+                and not (
+                    self._use_bell() and self._ell_builders()[1] is not None
+                )
             ):
+                # superseded by the supernode blocks (_BinvSN) on the
+                # halo-ELL path below
                 mask_u, _, _, _ = self._bc_masks_and_values()
                 B = self.kernels.elasticity_diag_blocks(
                     theta["mu"], theta["lam"]
@@ -516,10 +693,45 @@ class Simulation(ABC):
                 theta["_BinvG"] = self.kernels.block_jacobi_inverse_blocks(
                     B, mask=mask_u
                 )
-            # assembled block-ELL operators (ops/ell.py): the theta-only
-            # elasticity values and the constant part of the rd Jacobian
+            # assembled operators: supernode halo-ELL planes (ops/bell.py)
+            # plus the matching supernode block-Jacobi inverses, or node
+            # block-ELL (ops/ell.py) as fallback — theta-only values
             # assemble once per simulate, like the stencil planes
-            if self._ell_builders()[1] is not None:
+            if self._ell_builders()[1] is not None and self._use_bell():
+                from glimslib_tpu.ops import bell as bell_mod
+
+                bplan = self._get_bell_plan()
+                kern = self.kernels
+                arrays = (kern.grads_T, kern.vol)
+                mask_u, mask_c, _, _ = self._bc_masks_and_values()
+                theta = dict(theta)
+                tb = self._bell_tables_from(theta)
+                Wel = bell_mod.build_bell_elasticity(
+                    bplan, arrays, theta["mu"], theta["lam"], self.dtype,
+                    tables=tb,
+                )
+                theta["_BellWel"] = Wel
+                theta["_BinvSN"] = bell_mod.supernode_jacobi_inverse(
+                    bplan,
+                    bell_mod.extract_self_blocks_vector(bplan, Wel),
+                    mask=mask_u,
+                )
+                if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
+                    Wrd = bell_mod.build_bell_rd_const(
+                        bplan, arrays, theta["D"], theta["rho"],
+                        theta["dt"], kern._m0, self.dtype, tables=tb,
+                    )
+                    theta["_BellWrdC"] = Wrd
+                    # rd supernode Jacobi from the CONSTANT Jacobian part:
+                    # the per-Newton logistic correction is a small SPD
+                    # perturbation, so the frozen blocks stay an effective
+                    # (and SPD) preconditioner across the whole solve
+                    theta["_McSN"] = bell_mod.supernode_jacobi_inverse(
+                        bplan,
+                        bell_mod.extract_self_blocks_scalar(bplan, Wrd),
+                        mask=mask_c,
+                    )
+            elif self._ell_builders()[1] is not None:
                 from glimslib_tpu.ops import ell as ell_mod
 
                 plan = self._ell_plan
@@ -663,23 +875,68 @@ class Simulation(ABC):
         self._fused_cg = el_cg is not None
         if rd_jacobian is None and el_operator is None:
             rd_jacobian, el_operator = self._ell_builders()
+        rd_precond = None
         if el_precond is None and hasattr(
             self.kernels, "elasticity_diag_blocks"
         ):
-            # gather-path block-Jacobi: per-node (d, d) diagonal blocks —
-            # decisively better than the scalar diagonal for
-            # near-incompressible elasticity (nu ~ 0.45) on unstructured
-            # meshes (mirrors the stencil path's _Binv); the inverse is
-            # precomputed per theta in _augment_theta_with_operators
-            # ("_BinvG", mask-protected), with an in-step fallback
+            # gather-path preconditioners, strongest available first:
+            # supernode block-Jacobi (_BinvSN/_McSN, ops/bell.py — dense
+            # per-supernode self-block inverses, measured 163 -> 105
+            # elasticity CG iterations over per-node blocks at n=24),
+            # optionally + the affine coarse level when the caller threads
+            # the runtime_aux() arrays ("_TLCinv"/"_TLMt" — passed as jit
+            # ARGUMENTS, never closures: a 182 MB closure constant costs
+            # ~240 s of XLA compile), else per-node (d, d) blocks
+            # ("_BinvG", mirrors the stencil path's _Binv)
             kern = self.kernels
+            use_bell = self._use_bell() and self._ell_builders()[1] is not None
+            if use_bell:
+                from glimslib_tpu.ops import bell as bell_mod
 
-            def el_precond(theta):
+                bplan = self._get_bell_plan()
+            agg_plan = (
+                self._twolevel_aggplan() if self.mesh.lattice_strides is None
+                else None
+            )
+
+            def _base_el(theta):
+                if use_bell and isinstance(theta, dict) and "_BinvSN" in theta:
+                    Binv = theta["_BinvSN"]
+                    return lambda r: bell_mod.apply_supernode_jacobi(
+                        bplan, Binv, r
+                    )
                 Binv = theta.get("_BinvG") if isinstance(theta, dict) else None
                 if Binv is None:
                     B = kern.elasticity_diag_blocks(theta["mu"], theta["lam"])
                     Binv = kern.block_jacobi_inverse_blocks(B, mask=mask_u)
                 return lambda r: kern.apply_block_jacobi(Binv, r)
+
+            def el_precond(theta):
+                base = _base_el(theta)
+                if (
+                    agg_plan is None
+                    or not isinstance(theta, dict)
+                    or "_TLCinv" not in theta
+                ):
+                    return base
+                from glimslib_tpu.solvers.twolevel import (
+                    make_twolevel_precond,
+                )
+
+                return make_twolevel_precond(
+                    agg_plan, theta["_TLCinv"], theta["_TLMt"], base
+                )
+
+            if use_bell and getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
+
+                def rd_precond(theta):
+                    if isinstance(theta, dict) and "_McSN" in theta:
+                        Minv = theta["_McSN"]
+                        return lambda r: bell_mod.apply_supernode_jacobi(
+                            bplan, Minv, r
+                        )
+                    diag = self.rd_diag(theta)
+                    return lambda r: r / diag
 
         hi = self.hi_residual_fns() if self.step_config.refine_f64 else None
         return make_step(
@@ -702,13 +959,25 @@ class Simulation(ABC):
         )
 
     def build_simulate_fn(self, n_steps: int, dt: float):
-        """Pure jittable function: (theta, u0, c0) -> trajectory.
+        """Pure jittable function: (theta, u0, c0[, aux]) -> trajectory.
 
         Returns arrays (n_steps, ...) for u, c and the per-step converged
-        flags.  Differentiable w.r.t. theta (IFT adjoint per step)."""
+        flags.  Differentiable w.r.t. theta (IFT adjoint per step).
+
+        ``aux`` is the optional :meth:`runtime_aux` dict of frozen
+        preconditioner arrays — passed as a jit ARGUMENT precisely so the
+        large coarse inverse never becomes an XLA closure constant (a
+        182 MB constant costs ~240 s of compile); its keys are merged
+        into the augmented theta (the step's residual VJPs never touch
+        them, so they receive zero cotangents automatically)."""
         step = self._build_step()
 
-        def simulate(theta, u0, c0):
+        def simulate(theta, u0, c0, aux=None):
+            if aux:
+                # merge BEFORE augmenting: the bell assembly inside
+                # _augment_theta_with_operators reads the aux-borne plan
+                # tables (underscore keys never collide with parameters)
+                theta = {**theta, **aux}
             theta = self._augment_theta_with_operators(theta)
 
             def body(carry, i):
@@ -774,9 +1043,16 @@ class Simulation(ABC):
             )
             u0 = jax.device_put(u0, sh_u)
             c0 = jax.device_put(c0, sh_c)
+            aux = {}
         else:
             simulate = jax.jit(self.build_simulate_fn(n_steps, dt))
-        u_traj, c_traj, ok_traj, newton_iters = simulate(theta, u0, c0)
+            aux = self.runtime_aux()
+        if aux:
+            u_traj, c_traj, ok_traj, newton_iters = simulate(
+                theta, u0, c0, aux
+            )
+        else:
+            u_traj, c_traj, ok_traj, newton_iters = simulate(theta, u0, c0)
         self.solver_info = {"newton_iters": np.asarray(newton_iters)}
         self.logger.info("    - newton iterations per step: %s",
                          list(np.asarray(newton_iters)))

@@ -121,6 +121,35 @@ def make_scatter_plan(index_map: np.ndarray, n_segments: int) -> ScatterPlan:
     )
 
 
+def make_scatter_plan_dropping(index_map: np.ndarray,
+                               n_segments: int) -> ScatterPlan:
+    """Like :func:`make_scatter_plan`, but entries whose id is
+    ``>= n_segments`` are silently dropped (they claim no slot and do not
+    inflate the per-segment width K).
+
+    Used by the node-sharded unstructured path (parallel/bellshard.py):
+    each device accumulates only into its OWNED rows; contributions its
+    cells make to neighbor-owned rows are computed redundantly by the
+    owner (overlap assembly), so the local plan simply drops them."""
+    flat = np.asarray(index_map, dtype=np.int64).ravel()
+    n_entries = len(flat)
+    order = np.argsort(flat, kind="stable")
+    sorted_ids = flat[order]
+    starts = np.searchsorted(sorted_ids, np.arange(n_segments))
+    ends = np.searchsorted(sorted_ids, np.arange(n_segments) + 1)
+    counts = ends - starts
+    K = int(counts.max()) if n_segments else 0
+    table = np.full((n_segments, max(K, 1)), n_entries, dtype=np.int32)
+    keep = sorted_ids < n_segments
+    within = np.arange(n_entries) - starts[
+        np.minimum(sorted_ids, max(n_segments - 1, 0))
+    ]
+    table[sorted_ids[keep], within[keep]] = order[keep]
+    return ScatterPlan(
+        pull_table=table, n_entries=n_entries, n_segments=int(n_segments)
+    )
+
+
 def pull_accumulate(pull_table_flat, n_segments: int, contrib_flat):
     """Core pull-gather accumulation: pad contributions with one zero row
     (the sentinel target), gather (n_segments * K) incident entries,

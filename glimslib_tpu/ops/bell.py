@@ -1,0 +1,319 @@
+"""Supernode halo-ELL operators for unstructured meshes.
+
+Second-generation replacement for the node block-ELL (ops/ell.py) on the
+gather-bound unstructured path (the reference's CGAL brain meshes,
+test_case_simulation_tumor_growth_3D_atlas_mpi.py:32-136).  Measured on
+the v5e, the node-ELL matvec is gather-bound: 540k width-3 row gathers
+at ~321 Mrow/s set a ~1.7 ms floor at 197k tets.  The nodes of one
+compact supernode share most of their neighbors, so gathering each
+supernode's UNIQUE halo once removes that redundancy:
+
+- nodes are grouped into contiguous supernodes of ``s`` in the mesh
+  order (use a Morton-ordered mesh, core/mesh.py reordered_morton, so
+  supernodes are compact blobs — halo size ~126 vs s*K ~ 480 at s=32);
+- per matvec: ONE width-d row gather of each supernode's halo
+  (nb * Kh rows — 3-4x fewer than node-ELL), then a dense local
+  contraction y[b, i, a] = sum_{h, c} W[b, i, a, h, c] xh[b, h, c]
+  as a full-lane VPU multiply-reduce over the flattened (Kh*d) axis;
+- the local operator W stores explicit zeros for non-adjacent pairs
+  (memory-for-gathers trade: ~11x fill at s=32, ~205 MB at 36k nodes —
+  0.26 ms of HBM streaming replaces ~1.1 ms of gathers);
+- assembly is SPLIT by entry class before the pull-gather (the dense
+  (nb*s*Kh)-slot plan it replaces padded every slot to the DIAGONAL
+  multiplicity ~cells-per-node, a ~435 MB table and ~108M gather rows):
+  diagonal entries accumulate through the small per-node plan
+  (multiplicity = cells per node), off-diagonal entries through a
+  compact unique-pair plan (multiplicity = cells per edge, ~6), and one
+  placement gather spreads [off-pairs | diag | 0] into the dense halo
+  layout — ~12x fewer gather rows and ~12x smaller tables;
+- the plan tables are LARGE (tens of MB at flagship scale): thread them
+  as jit arguments via ``Simulation.runtime_aux()`` (keys from
+  :meth:`BellPlan.tables`) — embedded as closure constants they blow
+  the axon remote-compile payload limit (HTTP 413) and cost XLA
+  constant-folding time.  Assembly runs inside
+  ``_augment_theta_with_operators`` so mu/lam/D/rho gradients flow
+  through the values like every other operator plane.
+
+Also provides the matching SUPERNODE block-Jacobi: the (s*d x s*d)
+self-block of each supernode, inverted once per simulate — a far
+stronger smoother than per-node blocks for the same streaming apply
+cost, and the natural fine-level partner of the affine coarse space
+(solvers/twolevel.py) built on the same Morton blocks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glimslib_tpu.ops.assembly import make_scatter_plan, pull_accumulate
+
+
+class BellPlan:
+    """Host-precomputed supernode halo structure for one mesh."""
+
+    def __init__(self, mesh, s: int = 32):
+        cells = np.asarray(mesh.cells, dtype=np.int64)
+        nc, npe = cells.shape
+        n = mesh.n_nodes
+        self.n = n
+        self.npe = npe
+        self.s = s = int(s)
+        nb = (n + s - 1) // s
+        self.nb = nb
+        self.n_pad = nb * s
+
+        # unique node-adjacency pairs (same construction as ops/ell.py),
+        # in (i, j, cell) entry order to match the builders' value tensors
+        rows = np.repeat(cells.T, npe, axis=0).reshape(npe, npe, nc)
+        cols = np.tile(cells.T, (npe, 1)).reshape(npe, npe, nc)
+        rflat = rows.ravel()
+        cflat = cols.ravel()
+        key = rflat * n + cflat
+        uniq = np.unique(key)
+        ur = (uniq // n).astype(np.int64)
+        uc = (uniq % n).astype(np.int64)
+
+        # per-supernode halo: sorted unique columns over the block's rows
+        # (uniq is row-major sorted, so block ids br are nondecreasing)
+        br = ur // s
+        bounds = np.searchsorted(br, np.arange(nb + 1))
+        halos = [np.unique(uc[bounds[b]:bounds[b + 1]]) for b in range(nb)]
+        Kh = max((len(h) for h in halos), default=1)
+        self.Kh = Kh
+        halo_ids = np.full((nb, Kh), n, dtype=np.int32)  # sentinel n
+        for b, h in enumerate(halos):
+            halo_ids[b, : len(h)] = h
+        self.halo_ids = halo_ids
+
+        # kh position of each unique pair's column in its row-block's
+        # sorted halo
+        kh_u = np.empty(len(uniq), dtype=np.int64)
+        for b in range(nb):
+            sl = slice(bounds[b], bounds[b + 1])
+            kh_u[sl] = np.searchsorted(halos[b], uc[sl])
+        dense_slot = (ur * Kh + kh_u)  # (b*s + i_loc) * Kh + kh
+
+        # -- class-split assembly plans (see module docstring) -------------
+        # diagonal entries (i == j): the value tensors expose them as the
+        # static (npe, nc) slice ent[k, k, :]; accumulate per NODE through
+        # the small per-node plan (multiplicity = cells per node)
+        self.diag_plan = make_scatter_plan(cells.T.ravel(), n)
+        # off-diagonal entries (i != j): static (npe^2 - npe, nc) slice;
+        # accumulate per unique PAIR (multiplicity = cells per edge, ~6)
+        ii, jj = np.meshgrid(np.arange(npe), np.arange(npe), indexing="ij")
+        off_mask = (ii != jj).ravel()  # over the (i, j) leading axes
+        self.off_entry_idx = np.where(off_mask)[0]  # static slice order
+        isdiag_u = ur == uc
+        off_u = np.where(~isdiag_u)[0]
+        self.n_off = len(off_u)
+        off_rank = np.full(len(uniq), -1, dtype=np.int64)
+        off_rank[off_u] = np.arange(self.n_off)
+        e_rows = rflat.reshape(npe, npe, nc)[ii != jj].ravel()
+        e_cols = cflat.reshape(npe, npe, nc)[ii != jj].ravel()
+        e_pair = np.searchsorted(uniq, e_rows * n + e_cols)
+        self.off_plan = make_scatter_plan(off_rank[e_pair], self.n_off)
+        # placement: dense slot -> [off-pairs | diag nodes | zero sentinel]
+        place = np.full(nb * s * Kh, self.n_off + n, dtype=np.int64)
+        place[dense_slot[~isdiag_u]] = off_rank[off_u]
+        place[dense_slot[isdiag_u]] = self.n_off + ur[isdiag_u]
+        self.place = place.astype(np.int32)
+
+        # own-node halo positions (for self-block extraction): kh index of
+        # node (b*s + i) within block b's halo, for supernode Jacobi
+        own = np.zeros((nb, s), dtype=np.int64)
+        for b in range(nb):
+            ids = np.arange(b * s, min((b + 1) * s, n))
+            pos = np.searchsorted(halos[b], ids)
+            own[b, : len(ids)] = pos
+            if len(ids) < s:  # padded tail of the last block
+                own[b, len(ids):] = 0
+        self.own_slots = own
+
+    def tables(self, prefix: str = "_Bell"):
+        """Plan arrays to thread as jit ARGUMENTS (via theta/aux): tens of
+        MB at flagship scale — as closure constants they blow the axon
+        remote-compile payload limit (HTTP 413)."""
+        return {
+            prefix + "DiagPull": jnp.asarray(self.diag_plan.pull_table),
+            prefix + "OffPull": jnp.asarray(self.off_plan.pull_table),
+            prefix + "Place": jnp.asarray(self.place),
+            prefix + "Halo": jnp.asarray(self.halo_ids),
+        }
+
+    def _tables_or_const(self, tables):
+        if tables is None:
+            tables = self.tables()
+        return (tables["_BellDiagPull"], tables["_BellOffPull"],
+                tables["_BellPlace"])
+
+    def assemble(self, entry_values, tables=None):
+        """(npe, npe, nc, ...) per-entry values -> (nb, s, Kh, ...).
+
+        Class-split pull-gather: diagonal slice per node, off-diagonal
+        slice per unique pair, one placement gather into the dense halo
+        layout."""
+        npe = self.npe
+        diag_pull, off_pull, place = self._tables_or_const(tables)
+        tail = entry_values.shape[3:]
+        flat = entry_values.reshape((npe * npe, -1) + tail)
+        k = jnp.arange(npe)
+        diag_flat = flat.reshape((npe, npe) + flat.shape[1:])[k, k].reshape(
+            (-1,) + tail
+        )
+        off_flat = jnp.take(flat, jnp.asarray(self.off_entry_idx), axis=0
+                            ).reshape((-1,) + tail)
+        diag_vals = pull_accumulate(diag_pull.ravel(), self.n, diag_flat)
+        off_vals = pull_accumulate(off_pull.ravel(), self.n_off, off_flat)
+        both = jnp.concatenate([off_vals, diag_vals], axis=0)
+        pad = [(0, 1)] + [(0, 0)] * (both.ndim - 1)
+        both0 = jnp.pad(both, pad)  # zero sentinel row
+        if both0.ndim == 1:  # width-2 duplicated rows: fast gather path
+            both0 = jnp.stack([both0, both0], axis=-1)
+            vals = jnp.take(both0, place, axis=0)[..., 0]
+        else:
+            vals = jnp.take(both0, place, axis=0)
+        return vals.reshape((self.nb, self.s, self.Kh) + tail)
+
+
+def build_bell_elasticity(plan: BellPlan, mesh_arrays, mu, lam, dtype,
+                          tables=None):
+    """Supernode halo-ELL values of the elasticity stiffness operator,
+    laid out (nb, s, d, Kh, d) for the full-lane contraction (entry
+    formulas as ops/ell.py build_ell_elasticity, reference forms
+    simulation_tumor_growth.py:110-113)."""
+    g, vol = mesh_arrays  # (npe, d, nc), (nc,)
+    d = g.shape[1]
+    mu = jnp.asarray(mu, dtype)
+    lam = jnp.asarray(lam, dtype)
+    gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)  # (i, j, nc)
+    eye = jnp.eye(d, dtype=dtype)
+    term1 = g[None, :, :, None, :] * g[:, None, None, :, :]
+    term2 = gg[:, :, None, None, :] * eye[None, None, :, :, None]
+    term3 = g[None, :, None, :, :] * g[:, None, :, None, :]
+    ent = vol * (mu * (term1 + term2) + lam * term3)  # (i, j, a, b, nc)
+    ent = jnp.moveaxis(ent, -1, 2)  # (i, j, nc, a, b)
+    W = plan.assemble(ent, tables)  # (nb, s, Kh, d, d)
+    return jnp.transpose(W, (0, 1, 3, 2, 4))  # (nb, s, d, Kh, d)
+
+
+def build_bell_rd_const(plan: BellPlan, mesh_arrays, D, rho, dt, m0, dtype,
+                        tables=None):
+    """(nb, s, Kh) values of M + dt D K - dt rho M (ops/ell.py
+    build_ell_rd_const formulas)."""
+    g, vol = mesh_arrays
+    npe = g.shape[0]
+    D = jnp.asarray(D, dtype)
+    rho = jnp.asarray(rho, dtype)
+    gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)
+    eye = jnp.eye(npe, dtype=dtype)[:, :, None]
+    M = m0 * (1.0 + eye) * vol
+    ent = M + (dt * D) * (vol * gg) - (dt * rho) * M
+    return plan.assemble(ent, tables)
+
+
+def build_bell_rd_wc(plan: BellPlan, mesh_arrays, cells_T, c, rho, dt, t0,
+                     conc_max, dtype, tables=None):
+    """(nb, s, Kh) values of the logistic Jacobian correction
+    +2 dt rho W(c)/c_max (ops/ell.py build_ell_rd_wc formulas)."""
+    g, vol = mesh_arrays
+    npe = g.shape[0]
+    rho = jnp.asarray(rho, dtype)
+    ce = jnp.take(jnp.stack([c, c], axis=-1), cells_T.ravel(), axis=0)[
+        :, 0
+    ].reshape(npe, -1)  # row-packed gather, (npe, nc)
+    S = jnp.sum(ce, axis=0)
+    eye = jnp.eye(npe, dtype=dtype)[:, :, None]
+    W = (vol * t0) * (
+        S + ce[:, None, :] + ce[None, :, :] + eye * (S + 2.0 * ce[:, None, :])
+    )
+    ent = (2.0 * dt / conc_max) * rho * W
+    return plan.assemble(ent, tables)
+
+
+def apply_bell_vector(plan: BellPlan, halo_ids, W, x):
+    """y[i, a] = halo-gather + dense local contraction; W (nb, s, d, Kh, d),
+    x (n, d)."""
+    n, d = x.shape
+    nb, s, Kh = plan.nb, plan.s, plan.Kh
+    xp = jnp.pad(x, ((0, 1), (0, 0)))
+    xh = jnp.take(xp, halo_ids.ravel(), axis=0).reshape(nb, 1, 1, Kh * d)
+    y = jnp.sum(W.reshape(nb, s, d, Kh * d) * xh, axis=3)  # (nb, s, d)
+    return y.reshape(nb * s, d)[:n]
+
+
+def apply_bell_scalar(plan: BellPlan, halo_ids, W, x):
+    """Scalar halo-ELL matvec; W (nb, s, Kh), x (n,).  Width-2 duplicated
+    rows keep the halo gather on the fast row path."""
+    n = x.shape[0]
+    nb, s, Kh = plan.nb, plan.s, plan.Kh
+    xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
+    xh = jnp.take(xp, halo_ids.ravel(), axis=0)[:, 0].reshape(nb, 1, Kh)
+    y = jnp.sum(W * xh, axis=2)  # (nb, s)
+    return y.reshape(nb * s)[:n]
+
+
+# -- supernode block-Jacobi --------------------------------------------------
+
+
+def extract_self_blocks_vector(plan: BellPlan, W):
+    """Self-block (s*d x s*d) of each supernode from (nb, s, d, Kh, d)."""
+    nb, s, Kh = plan.nb, plan.s, plan.Kh
+    d = W.shape[2]
+    own = jnp.asarray(plan.own_slots)  # (nb, s)
+    # B[b, i, a, j, c] = W[b, i, a, own[b, j], c]
+    Wf = W.reshape(nb, s * d, Kh, d)
+    B = jnp.take_along_axis(
+        Wf, own[:, None, :, None].astype(jnp.int32) * jnp.ones(
+            (1, s * d, 1, d), jnp.int32
+        ), axis=2
+    )  # (nb, s*d, s, d)
+    return B.reshape(nb, s * d, s * d)
+
+
+def extract_self_blocks_scalar(plan: BellPlan, W):
+    """Self-block (s x s) of each supernode from (nb, s, Kh)."""
+    own = jnp.asarray(plan.own_slots)  # (nb, s)
+    return jnp.take_along_axis(
+        W, own[:, None, :].astype(jnp.int32) * jnp.ones(
+            (1, plan.s, 1), jnp.int32
+        ), axis=2
+    )  # (nb, s, s)
+
+
+def supernode_jacobi_inverse(plan: BellPlan, B, mask=None):
+    """Invert per-supernode self-blocks; masked dofs get identity rows.
+
+    ``B`` (nb, m, m) with m = s*d (vector) or s (scalar); ``mask`` (n, d)
+    or (n,) bool.  Padded tail dofs of the last block also get identity.
+    """
+    nb, m = B.shape[0], B.shape[1]
+    dtype = B.dtype
+    pad_dofs = plan.n_pad * (m // plan.s) - plan.n * (m // plan.s)
+    flat_mask = jnp.zeros((nb * m,), bool)
+    if mask is not None:
+        flat_mask = jnp.pad(
+            jnp.asarray(mask).reshape(-1), (0, pad_dofs),
+            constant_values=True,
+        )
+    else:
+        flat_mask = jnp.pad(
+            jnp.zeros((plan.n * (m // plan.s),), bool), (0, pad_dofs),
+            constant_values=True,
+        )
+    fm = flat_mask.reshape(nb, m)
+    keep = 1.0 - fm.astype(dtype)
+    B = B * keep[:, :, None] * keep[:, None, :]
+    eye = jnp.eye(m, dtype=dtype)[None]
+    B = B + eye * fm.astype(dtype)[:, :, None]
+    return jnp.linalg.inv(B)
+
+
+def apply_supernode_jacobi(plan: BellPlan, Binv, r):
+    """r (n, d) or (n,) -> per-supernode dense solve via mul+reduce."""
+    nb, m = Binv.shape[0], Binv.shape[1]
+    shape = r.shape
+    rp = jnp.pad(r.reshape(-1), (0, nb * m - r.reshape(-1).shape[0]))
+    z = jnp.sum(Binv * rp.reshape(nb, 1, m), axis=2)  # (nb, m)
+    return z.reshape(-1)[: r.reshape(-1).shape[0]].reshape(shape)

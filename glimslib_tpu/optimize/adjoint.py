@@ -174,12 +174,19 @@ class InverseProblem:
             return jnp.sum(f * sim.displacement_mass_action(f))
 
         weights = self.target_weights
+        # frozen preconditioner arrays ride as a jit ARGUMENT (never a
+        # closure: a 182 MB closure constant costs ~240 s of XLA compile);
+        # value_and_grad differentiates argnum 0 only, so aux needs no
+        # stop_gradient
+        self._aux = sim.runtime_aux()
 
-        def objective(v):
+        def objective(v, aux):
             p = dict(base_params)
             p.update(update_fn(v))
             theta = sim.make_theta(p)
-            u_traj, c_traj, ok, _ = simulate(theta, u0, c0)
+            u_traj, c_traj, ok, _ = simulate(
+                theta, u0, c0, aux if aux else None
+            )
             u_T = u_traj[-1]
             c_T = c_traj[-1]
             J = 0.0
@@ -205,16 +212,24 @@ class InverseProblem:
         analogue of ``sim.tape.visualise()`` (reference
         image_based_optimization.py:764-765)."""
         v = np.zeros(len(self.param_names)) if v is None else np.asarray(v)
-        jaxpr = jax.make_jaxpr(self._objective)(jnp.asarray(v, self.sim.dtype))
+        jaxpr = jax.make_jaxpr(lambda vv: self._objective(vv, self._aux))(
+            jnp.asarray(v, self.sim.dtype)
+        )
         with open(path, "w") as f:
             f.write(str(jaxpr))
         return path
 
     def objective(self, v):
-        return float(self._value_and_grad(jnp.asarray(v, self.sim.dtype))[0])
+        return float(
+            self._value_and_grad(
+                jnp.asarray(v, self.sim.dtype), self._aux
+            )[0]
+        )
 
     def value_and_grad(self, v):
-        J, g = self._value_and_grad(jnp.asarray(v, self.sim.dtype))
+        J, g = self._value_and_grad(
+            jnp.asarray(v, self.sim.dtype), self._aux
+        )
         return float(J), np.asarray(g, dtype=np.float64)
 
     # -- optimization (reference l.700-767) ---------------------------------

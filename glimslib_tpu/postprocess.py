@@ -128,6 +128,35 @@ class PostProcess:
         new Mesh moved by the recorded displacement (reverse: scale=-1)."""
         return self.mesh.moved(scale * self.get_displacement(recording_step))
 
+    def update_mesh_displacement(self, recording_step, reverse=False):
+        """Stateful ALE warp with exact round-trip, the reference's
+        ``update_mesh_displacement`` semantics (helper_classes.py:1712-1730):
+        ``reverse=False`` moves ``self.mesh`` by the recorded displacement
+        and remembers it; ``reverse=True`` undoes the remembered move,
+        restoring the original coordinates bit-exactly.  The functional
+        :meth:`deformed_mesh` stays the preferred API; this exists for
+        reference-workflow parity (warp, measure in deformed config,
+        unwarp)."""
+        if reverse:
+            prev = getattr(self, "_mesh_before_warp", None)
+            if prev is None:
+                logger.warning(
+                    "update_mesh_displacement(reverse=True) without a prior "
+                    "forward warp -- mesh left unchanged"
+                )
+                return self.mesh
+            self.mesh = prev  # bit-exact restore
+            self._mesh_before_warp = None
+            return self.mesh
+        if getattr(self, "_mesh_before_warp", None) is None:
+            # single-slot semantics like the reference: re-warping replaces
+            # the warp, reverse always restores the pre-warp coordinates
+            self._mesh_before_warp = self.mesh
+        self.mesh = self._mesh_before_warp.moved(
+            self.get_displacement(recording_step)
+        )
+        return self.mesh
+
 
 class PostProcessTumorGrowth(PostProcess):
     """Model-specific fields (reference l.1734-1940)."""

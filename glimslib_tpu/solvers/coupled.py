@@ -102,6 +102,7 @@ def make_step(
     rd_jacobian: Callable = None,  # (theta, c) -> callable(v) = J_cc v
     el_operator: Callable = None,  # (theta) -> callable(u) = A_uu u
     el_precond: Callable = None,  # (theta) -> callable(r) ~ A_uu^{-1} r
+    rd_precond: Callable = None,  # (theta) -> callable(r) ~ J_cc^{-1} r
     rd_residual_hi: Callable = None,  # f64-kernel residuals for refine_f64
     el_residual_hi: Callable = None,
     rd_cg: Callable = None,  # (theta, c, rhs) -> (dc, info): fused in-kernel
@@ -167,8 +168,14 @@ def make_step(
             resid_c_eval = lambda c: resid_c_hi(c).astype(c_prev.dtype)
         else:
             resid_c_eval = resid_c
-        diag_c = jnp.where(mask_c, 1.0, rd_diag(theta))
-        Mc = lambda r: r / diag_c
+        if rd_precond is not None:
+            Mc_raw = rd_precond(theta)
+            Mc = lambda r: jnp.where(
+                mask_c, r, Mc_raw(jnp.where(mask_c, 0.0, r))
+            )
+        else:
+            diag_c = jnp.where(mask_c, 1.0, rd_diag(theta))
+            Mc = lambda r: r / diag_c
         c0 = jnp.where(mask_c, gc, c_prev)
         if cfg.precond_degree > 1:
             # spectral bound for the Chebyshev polynomial: precomputed in
@@ -314,7 +321,6 @@ def make_step(
         resid_c = _masked(mask_c, gc, lambda cc, cp, th: rd_residual(cc, cp, th, t))
         resid_u = _masked(mask_u, gu, lambda uu, cc, th: el_residual(uu, cc, th, t))
 
-        diag_c = jnp.where(mask_c, 1.0, rd_diag(theta))
         if el_precond is not None:
             Mu_raw = el_precond(theta)
             Mu = lambda r: jnp.where(mask_u, r, Mu_raw(jnp.where(mask_u, 0.0, r)))
@@ -348,7 +354,14 @@ def make_step(
             Ac = _op_masked(rd_jacobian(theta, c), mask_c)
         else:
             Ac = _masked_operator(lambda cc: resid_c(cc, c_prev, theta), c, mask_c)
-        Mc = lambda r: r / diag_c
+        if rd_precond is not None:
+            Mc_raw = rd_precond(theta)
+            Mc = lambda r: jnp.where(
+                mask_c, r, Mc_raw(jnp.where(mask_c, 0.0, r))
+            )
+        else:
+            diag_c = jnp.where(mask_c, 1.0, rd_diag(theta))
+            Mc = lambda r: r / diag_c
         if cfg.precond_degree > 1:
             if isinstance(theta, dict) and "_lmax_c" in theta:
                 lmax_c = theta["_lmax_c"]
@@ -366,7 +379,11 @@ def make_step(
         _, vjp_c = jax.vjp(lambda cp, th: resid_c(c, cp, th), c_prev, theta)
         c_prev_bar_neg, theta_bar_c = vjp_c(lam_c)
         theta_bar = jax.tree_util.tree_map(
-            lambda a, b: -(a + b), theta_bar_u, theta_bar_c
+            # int leaves (aux-threaded plan tables) carry float0
+            # cotangents, which support no arithmetic — pass them through
+            lambda a, b: a if getattr(a, "dtype", None) == jax.dtypes.float0
+            else -(a + b),
+            theta_bar_u, theta_bar_c,
         )
         c_prev_bar = -c_prev_bar_neg
         u_prev_bar = jnp.zeros_like(u_prev)

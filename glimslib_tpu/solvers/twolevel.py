@@ -1,0 +1,194 @@
+"""Two-level coarse-space preconditioning for unstructured elasticity.
+
+The reference preconditions its elasticity Krylov solves with PETSc AMG
+(simulation_base.py:101-103); PETSc's GAMG builds its coarse space from
+per-aggregate near-null modes.  Geometric multigrid with P1 coarse spaces
+fails on the nu ~ 0.45 brain configs (solvers/multigrid.py notes), and
+measurements on the flagship unstructured problem (tools/bench_twolevel.py)
+show per-aggregate AFFINE modes (translations + the full displacement
+gradient, q = d + d^2 modes) beat rigid modes at matched coarse size:
+at n=24 the elasticity CG drops 163 -> 75 iterations with 64-node
+aggregates (additive combination with block-Jacobi).
+
+TPU-shaped design (no gathers on the per-iteration hot path):
+
+- Aggregates are CONTIGUOUS ranges of ``agg_size`` nodes in the mesh
+  ordering.  Ordering matters: Morton (space-filling-curve) ordered
+  meshes (core/mesh.py reordered_morton) give compact blob aggregates —
+  measured 87 vs 156 iterations against RCM-ordered slabs at n=24.
+  Restriction/prolongation are then reshape + broadcast/sum over a
+  (nagg, m, d) view: zero gathers, zero scatters per application.
+- Per-node mode matrix M_i (d, q): affine u(x) = t + G r_i with offsets
+  r_i = x_i - centroid(agg) scaled to O(1) per aggregate (conditioning
+  of the coarse Gram).  Dirichlet dofs fold in by zeroing M rows, making
+  the coarse operator consistent with the masked CG operator
+  A'' = m + (1-m) A (1-m) of solvers/coupled.py.
+- The Galerkin coarse matrix A_c = P~^T A P~ assembles from the
+  block-ELL values (ops/ell.py) by one scatter-add into a DENSE
+  (q*nagg)^2 matrix, inverted once.  This costs O(n K q^2) scatter
+  traffic, so it runs EAGERLY AT SETUP (models/base.py), frozen at the
+  setup-time parameters — a preconditioner only shapes the iteration
+  count, never the solution or its IFT adjoint, so freezing it across
+  an optimizer's theta updates is sound (standard frozen-preconditioner
+  practice) and keeps the in-jit per-step cost at exactly one dense
+  matvec + two reshape transfers.
+
+The preconditioner is the SPD additive combination
+    M(r) = blockJacobi(r) + P~ A_c^{-1} P~^T r
+(sum of an SPD and a PSD map), so plain CG remains valid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def n_affine_modes(d: int) -> int:
+    return d + d * d  # translations + full displacement gradient
+
+
+class AggPlan:
+    """Host-precomputed contiguous-aggregate affine coarse space.
+
+    Aggregates are node ranges [g*m, (g+1)*m) in mesh order (use a
+    Morton-ordered mesh); node count zero-padded to a multiple of ``m``.
+    """
+
+    def __init__(self, mesh, agg_size: int = 64):
+        n = mesh.n_nodes
+        d = mesh.dim
+        m = int(agg_size)
+        nagg = (n + m - 1) // m
+        self.n, self.d, self.m, self.nagg = n, d, m, nagg
+        self.n_pad = nagg * m
+        self.q = n_affine_modes(d)
+
+        pts = np.zeros((self.n_pad, d), dtype=np.float64)
+        pts[:n] = np.asarray(mesh.points, dtype=np.float64)
+        cent = pts.reshape(nagg, m, d).mean(axis=1)
+        off = pts - np.repeat(cent, m, axis=0)
+        off[n:] = 0.0
+        # per-aggregate O(1) scaling for coarse-Gram conditioning
+        scale = np.maximum(
+            np.abs(off.reshape(nagg, m, d)).max(axis=(1, 2)), 1e-12
+        )
+        self.offsets = off / np.repeat(scale, m)[:, None]  # (n_pad, d)
+        # aggregate id per node + sentinel slot used by ELL adjacency
+        agg_of = np.empty(n + 1, dtype=np.int32)
+        agg_of[:n] = np.arange(n, dtype=np.int32) // m
+        agg_of[n] = nagg
+        self.agg_of = agg_of
+
+    def mode_matrix(self, f):
+        """Masked per-node mode matrices M~ (n_pad, d, q): affine modes
+        u = t + G r with rows scaled by f = 1-mask (f: (n, d))."""
+        d, q, n, n_pad = self.d, self.q, self.n, self.n_pad
+        off = self.offsets
+        M = np.zeros((n_pad, d, q), dtype=np.float64)
+        M[:, :, :d] = np.eye(d)
+        for a in range(d):
+            for c in range(d):
+                M[:, a, d + a * d + c] = off[:, c]
+        M[n:] = 0.0
+        Mj = jnp.asarray(M)
+        fp = jnp.pad(jnp.asarray(f, Mj.dtype), ((0, n_pad - n), (0, 0)))
+        return Mj * fp[:, :, None]
+
+    # -- transfers (reshape-only) -------------------------------------------
+
+    def restrict(self, Mt, r):
+        """P~^T r: fine (n, d) -> coarse (nagg*q,)."""
+        m, nagg, q, d = self.m, self.nagg, self.q, self.d
+        rp = jnp.pad(r, ((0, self.n_pad - self.n), (0, 0)))
+        per = jnp.sum(Mt * rp[:, :, None], axis=1)  # (n_pad, q)
+        return jnp.sum(per.reshape(nagg, m, q), axis=1).reshape(-1)
+
+    def prolong(self, Mt, w):
+        """P~ w: coarse (nagg*q,) -> fine (n, d)."""
+        m, nagg, q = self.m, self.nagg, self.q
+        wq = jnp.repeat(w.reshape(nagg, q), m, axis=0)  # (n_pad, q)
+        return jnp.sum(Mt * wq[:, None, :], axis=2)[: self.n]
+
+
+def build_coarse(plan: AggPlan, adj, B, mask_u, reg: float = 1e-8):
+    """Dense Galerkin coarse matrix A_c = P~^T A P~ from block-ELL values.
+
+    ``adj`` (n, K) int32 with sentinel n; ``B`` (n, K, d, d); ``mask_u``
+    (n, d) bool.  One-time scatter-add of n*K*q^2 values — call eagerly at
+    setup, not inside the per-step jit.  Everything under stop_gradient.
+    """
+    n, d, q, nagg = plan.n, plan.d, plan.q, plan.nagg
+    K = adj.shape[1]
+    B = jax.lax.stop_gradient(jnp.asarray(B))
+    dtype = B.dtype
+    f = 1.0 - jax.lax.stop_gradient(jnp.asarray(mask_u)).astype(dtype)
+    Mt = plan.mode_matrix(np.asarray(f)).astype(dtype)  # (n_pad, d, q)
+    Mi = Mt[:n]  # (n, d, q)
+    # neighbor modes, gathered once (sentinel row n_pad-? -> use zero row)
+    Mpad = jnp.concatenate([Mi, jnp.zeros((1, d, q), dtype)], axis=0)
+    Mj = jnp.take(Mpad, jnp.minimum(adj.ravel(), n), axis=0).reshape(
+        n, K, d, q
+    )
+    # ent[i,k,p,q'] = sum_a sum_b Mi[i,a,p] B[i,k,a,b] Mj[i,k,b,q']
+    # (mul+reduce, never einsum/@ for small contractions — CLAUDE.md)
+    tmp = jnp.sum(
+        Mi[:, None, :, :, None] * B[:, :, :, None, :], axis=2
+    )  # (n, K, p, b)
+    ent = jnp.sum(
+        tmp[:, :, :, :, None] * Mj[:, :, None, :, :], axis=3
+    )  # (n, K, p, q')
+
+    gi = jnp.asarray(plan.agg_of[:n], jnp.int32)
+    gj = jnp.take(jnp.asarray(plan.agg_of), adj.ravel()).reshape(n, K)
+    gj = jnp.minimum(gj, nagg - 1)  # sentinel cols carry zero ent
+    dim_c = nagg * q
+    p_idx = jnp.arange(q, dtype=jnp.int32)
+    rowc = gi[:, None, None, None] * q + p_idx[None, None, :, None]
+    colc = gj[:, :, None, None] * q + p_idx[None, None, None, :]
+    flat = (rowc * dim_c + colc).reshape(-1)
+    Ac = jnp.zeros((dim_c * dim_c,), dtype).at[flat].add(ent.reshape(-1))
+    Ac = Ac.reshape(dim_c, dim_c)
+
+    # ridge keeps masked-out / degenerate modes invertible
+    dg = jnp.diagonal(Ac)
+    eps = reg * jnp.max(dg) + jnp.asarray(1e-30, dtype)
+    Ac = Ac + (eps + jnp.where(dg <= 0, 1.0, 0.0)) * jnp.eye(
+        dim_c, dtype=dtype
+    )
+    return Ac
+
+
+def coarse_inverse(Ac):
+    """Dense inverse, computed EAGERLY on the host in f64 (eager-only by
+    contract — build_coarse already is): avoids a slow on-device
+    ``linalg.inv`` at setup and returns the working dtype.  f32 storage
+    is safe for preconditioning (accuracy of M only affects the CG
+    iteration count, never the solution)."""
+    A = np.asarray(jax.lax.stop_gradient(Ac), dtype=np.float64)
+    return jnp.asarray(np.linalg.inv(A), dtype=Ac.dtype)
+
+
+def make_twolevel_precond(plan: AggPlan, Cinv, Mt, base_apply):
+    """M(r) = base_apply(r) + P~ Cinv P~^T r  (additive, SPD).
+
+    ``Mt`` is the masked mode matrix from :meth:`AggPlan.mode_matrix`,
+    precomputed EAGERLY at setup — this function may be called at trace
+    time (the coupled step is closure-converted under custom_vjp, which
+    lifts captured arrays to tracers), so no host conversions here."""
+    dtype = Cinv.dtype
+
+    def M(r):
+        rc = plan.restrict(Mt, r.astype(dtype))
+        # dense coarse apply: a genuinely large matmul, but it MUST run at
+        # full f32 precision — the default bf16 MXU rounding of an
+        # ill-conditioned inverse's ENTRIES makes the map indefinite, and
+        # an indefinite preconditioner diverges CG outright (measured on
+        # the v5e: ok=False at n=32 with default precision; the cost of
+        # HIGHEST here is one ~45 MFLOP dot per iteration, negligible)
+        w = jnp.dot(Cinv, rc, precision=jax.lax.Precision.HIGHEST)
+        coarse = plan.prolong(Mt, w)
+        return base_apply(r) + coarse.astype(r.dtype)
+
+    return M

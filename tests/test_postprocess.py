@@ -75,6 +75,22 @@ def test_deformed_mesh_roundtrip(loaded_results):
     assert np.allclose(m3.points, mesh.points, atol=1e-12)
 
 
+def test_update_mesh_displacement_reverse_roundtrip(loaded_results):
+    """Stateful ALE warp + reverse restores the original coordinates
+    (reference update_mesh_displacement, helper_classes.py:1712-1730)."""
+    mesh, res, (a, b) = loaded_results
+    pp = PostProcess(res)
+    orig = np.array(pp.mesh.points, copy=True)
+    m2 = pp.update_mesh_displacement(1)
+    assert m2 is pp.mesh
+    assert np.isclose(m2.points[:, 0].max(), 2 * (1 + a))
+    m3 = pp.update_mesh_displacement(1, reverse=True)
+    assert np.allclose(m3.points, orig, atol=0.0)
+    # reverse without a forward warp: warn-and-noop
+    m4 = pp.update_mesh_displacement(1, reverse=True)
+    assert np.allclose(m4.points, orig, atol=0.0)
+
+
 def test_cell_to_node_projection_constant(loaded_results):
     mesh, res, _ = loaded_results
     pp = PostProcess(res)

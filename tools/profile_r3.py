@@ -72,7 +72,7 @@ def profile_unstructured(n):
         jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32)
     sim = _brain_sim(n=n, dims=3, dtype=dtype,
                      mesh_transform=lambda m: Mesh.from_arrays(
-                         m.points, m.cells).reordered_rcm())
+                         m.points, m.cells).reordered_morton())
     if dtype == jnp.float32:
         sim.step_config = StepConfig(
             newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=800)
