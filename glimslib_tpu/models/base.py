@@ -132,6 +132,19 @@ class Simulation(ABC):
                 )
             self._gspmd_mesh = device_mesh
             self._gspmd_axis = device_mesh.axis_names[0]
+            if self.mesh.lattice_strides is None:
+                # unstructured node sharding: owned/ghost halo-exchange
+                # kernels (parallel/nodeshard.py) — per-device memory
+                # scales as n/ndev, replacing the replicated-vector
+                # 'cells' mode (the reference's mpirun partitioning,
+                # test_case_simulation_tumor_growth_3D_atlas_mpi.py)
+                from glimslib_tpu.parallel.nodeshard import (
+                    NodeShardedP1Kernels,
+                )
+
+                self.kernels = NodeShardedP1Kernels(
+                    self.mesh, device_mesh, dtype=self.dtype
+                )
         elif mode == "cells":
             self.kernels = ShardedP1Kernels(self.mesh, device_mesh, dtype=self.dtype)
         else:
@@ -514,10 +527,10 @@ class Simulation(ABC):
                 theta0["lam"], self.dtype,
             )
             Ac = tl.build_coarse(agg, jnp.asarray(plan.adj), B, mask_u)
-            Cinv = tl.coarse_inverse(Ac)
+            Cfac = tl.coarse_inverse(Ac)
             f = 1.0 - _np.asarray(mask_u).astype(_np.float64)
             Mt = agg.mode_matrix(f).astype(self.dtype)
-            self._twolevel_cache = {"_TLCinv": Cinv, "_TLMt": Mt}
+            self._twolevel_cache = {"_TLCfac": Cfac, "_TLMt": Mt}
         out.update(self._twolevel_cache)
         return out
 
@@ -884,7 +897,7 @@ class Simulation(ABC):
             # per-supernode self-block inverses, measured 163 -> 105
             # elasticity CG iterations over per-node blocks at n=24),
             # optionally + the affine coarse level when the caller threads
-            # the runtime_aux() arrays ("_TLCinv"/"_TLMt" — passed as jit
+            # the runtime_aux() arrays ("_TLCfac"/"_TLMt" — passed as jit
             # ARGUMENTS, never closures: a 182 MB closure constant costs
             # ~240 s of XLA compile), else per-node (d, d) blocks
             # ("_BinvG", mirrors the stencil path's _Binv)
@@ -916,7 +929,7 @@ class Simulation(ABC):
                 if (
                     agg_plan is None
                     or not isinstance(theta, dict)
-                    or "_TLCinv" not in theta
+                    or "_TLCfac" not in theta
                 ):
                     return base
                 from glimslib_tpu.solvers.twolevel import (
@@ -924,7 +937,7 @@ class Simulation(ABC):
                 )
 
                 return make_twolevel_precond(
-                    agg_plan, theta["_TLCinv"], theta["_TLMt"], base
+                    agg_plan, theta["_TLCfac"], theta["_TLMt"], base
                 )
 
             if use_bell and getattr(self, "CONCENTRATION_DEGREE", 1) == 1:

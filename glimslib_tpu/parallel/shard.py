@@ -13,11 +13,11 @@ PETSc allreduce per Newton iteration, SURVEY.md §3.4) becomes:
 
 CG/Newton then run on replicated node vectors: every device executes the
 same reductions — SPMD exactly like the reference's ``mpirun`` model, with
-XLA collectives riding ICI instead of MPI messages.  A node-sharded variant
-with ``ppermute`` halo exchange (owned/ghost splitting) is the planned
-optimization for node vectors that exceed per-device HBM; at GlimSLib
-problem sizes (<=1e6 nodes) replicated vectors avoid halo bookkeeping
-entirely and the psum is a single fused all-reduce per residual.
+XLA collectives riding ICI instead of MPI messages.  For node vectors that
+must scale PER DEVICE, use the owned/ghost node-sharded mode instead
+(parallel/nodeshard.py, ``use_sharding(mode='nodes')`` on unstructured
+meshes): partitioned vectors with a static halo exchange.  This replicated
+mode remains the zero-bookkeeping fallback for small problems.
 
 ``ShardedP1Kernels`` implements the same method surface as
 :class:`~glimslib_tpu.ops.assembly.P1Kernels`, so any model becomes

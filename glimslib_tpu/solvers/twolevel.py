@@ -160,34 +160,45 @@ def build_coarse(plan: AggPlan, adj, B, mask_u, reg: float = 1e-8):
     return Ac
 
 
-def coarse_inverse(Ac):
-    """Dense inverse, computed EAGERLY on the host in f64 (eager-only by
-    contract — build_coarse already is): avoids a slow on-device
-    ``linalg.inv`` at setup and returns the working dtype.  f32 storage
-    is safe for preconditioning (accuracy of M only affects the CG
-    iteration count, never the solution)."""
+def coarse_inverse(Ac, droptol: float = 1e-7):
+    """Gram FACTOR of the coarse inverse: B with B Bᵀ ≈ Ac⁻¹, computed
+    EAGERLY on the host in f64 (eager-only by contract — build_coarse
+    already is).
+
+    Why a factor and not the inverse: at nu ~ 0.45 the Galerkin coarse
+    matrix's condition exceeds f32 resolution, so the f32-ROUNDED dense
+    inverse is effectively indefinite — and an indefinite preconditioner
+    diverges CG outright (measured on the v5e: ok=False at n=32, even
+    with full-precision matvecs).  The factored form  w = B (Bᵀ r)  is
+    positive semidefinite BY CONSTRUCTION in any float precision.  Built
+    from the f64 eigendecomposition with the near-null spectrum clipped
+    (λ < droptol·λmax contributes nothing instead of 1/λ noise)."""
     A = np.asarray(jax.lax.stop_gradient(Ac), dtype=np.float64)
-    return jnp.asarray(np.linalg.inv(A), dtype=Ac.dtype)
+    lam, V = np.linalg.eigh(0.5 * (A + A.T))
+    lmax = float(lam.max()) if len(lam) else 1.0
+    inv_sqrt = np.where(lam > droptol * lmax, 1.0 / np.sqrt(
+        np.maximum(lam, 1e-300)), 0.0)
+    return jnp.asarray(V * inv_sqrt[None, :], dtype=Ac.dtype)
 
 
-def make_twolevel_precond(plan: AggPlan, Cinv, Mt, base_apply):
-    """M(r) = base_apply(r) + P~ Cinv P~^T r  (additive, SPD).
+def make_twolevel_precond(plan: AggPlan, B, Mt, base_apply):
+    """M(r) = base_apply(r) + P~ B Bᵀ P~^T r  (additive, SPD — the coarse
+    term is a Gram form, PSD in any float precision, see
+    :func:`coarse_inverse`).
 
     ``Mt`` is the masked mode matrix from :meth:`AggPlan.mode_matrix`,
     precomputed EAGERLY at setup — this function may be called at trace
     time (the coupled step is closure-converted under custom_vjp, which
     lifts captured arrays to tracers), so no host conversions here."""
-    dtype = Cinv.dtype
+    dtype = B.dtype
 
     def M(r):
         rc = plan.restrict(Mt, r.astype(dtype))
-        # dense coarse apply: a genuinely large matmul, but it MUST run at
-        # full f32 precision — the default bf16 MXU rounding of an
-        # ill-conditioned inverse's ENTRIES makes the map indefinite, and
-        # an indefinite preconditioner diverges CG outright (measured on
-        # the v5e: ok=False at n=32 with default precision; the cost of
-        # HIGHEST here is one ~45 MFLOP dot per iteration, negligible)
-        w = jnp.dot(Cinv, rc, precision=jax.lax.Precision.HIGHEST)
+        # two dense matvecs (~45 MFLOP each) — full f32 accumulation, the
+        # default bf16 MXU rounding costs iterations on the amplified
+        # near-null directions
+        z = jnp.dot(B.T, rc, precision=jax.lax.Precision.HIGHEST)
+        w = jnp.dot(B, z, precision=jax.lax.Precision.HIGHEST)
         coarse = plan.prolong(Mt, w)
         return base_apply(r) + coarse.astype(r.dtype)
 

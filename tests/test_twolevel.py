@@ -147,7 +147,7 @@ def test_twolevel_sim_solution_invariant(monkeypatch):
         c0 = jnp.asarray(iv[1], jnp.float64)
         simulate = jax.jit(sim.build_simulate_fn(3, 1.0))
         aux = sim.runtime_aux()
-        assert ("_TLCinv" in aux) == (flag == "1")  # actually exercised
+        assert ("_TLCfac" in aux) == (flag == "1")  # actually exercised
         traj = simulate(theta0, u0, c0, aux if aux else None)
         assert np.asarray(traj[2]).all()
         outs[flag] = (np.asarray(traj[0][-1]), np.asarray(traj[1][-1]))
