@@ -256,6 +256,40 @@ def measure_baseline(sim):
     return baseline_sps, key
 
 
+def run_refined():
+    """Accuracy-mode throughput: f32 solves + auto refine_f64 (f64 defect
+    residuals).  Quantifies what the default-on accuracy mode costs vs the
+    plain-f32 primary metric (VERDICT r2 #5).  Runs LAST: enabling x64
+    changes default dtype promotion for every trace after it."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from glimslib_tpu.solvers.coupled import StepConfig
+
+    sim = build_problem(dtype=jnp.float32)
+    sim.step_config = StepConfig(
+        newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=800,
+        refine_f64=True,
+    )
+    theta = sim.make_theta(sim.params.as_dict())
+    iv = sim.params.create_initial_value_function()
+    u0 = jnp.asarray(iv[0], jnp.float32)
+    c0 = jnp.asarray(iv[1], jnp.float32)
+    simulate = jax.jit(sim.build_simulate_fn(N_STEPS, 1.0))
+    out = simulate(theta, u0, c0)
+    jax.block_until_ready(out)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = simulate(theta, u0, c0)
+        jax.block_until_ready(out)
+    dt_run = (time.perf_counter() - t0) / reps
+    assert np.asarray(out[2]).all(), "refined bench solve did not converge"
+    return N_STEPS / dt_run
+
+
 def main():
     sim, steps_per_sec = run_tpu()
     if os.environ.get("GLIMS_BENCH_SKIP_BASELINE", "0") == "1":
@@ -309,6 +343,10 @@ def main():
             extras["adjoint_value_and_grad_per_sec"] = round(vg_per_sec, 4)
         except Exception as e:
             extras["adjoint_error"] = repr(e)[:200]
+        try:
+            extras["refined_steps_per_sec"] = round(run_refined(), 4)
+        except Exception as e:
+            extras["refined_error"] = repr(e)[:200]
         record["extra"] = extras
     print(json.dumps(record))
 

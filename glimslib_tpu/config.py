@@ -45,7 +45,26 @@ precond_degree = int(os.environ.get("GLIMS_PRECOND_DEGREE", "0"))
 # Mixed-precision iterative refinement for f32 runs (f64 Newton residuals +
 # one elasticity correction pass; StepConfig.refine_f64).  Recovers ~1e-7
 # accuracy on TPU f32 at a few emulated-f64 residual evals per step.
-refine_f64 = os.environ.get("GLIMS_REFINE_F64", "0") == "1"
+# Three states: "auto" (default — ON for f32 models whenever jax x64 is
+# enabled, so the 1e-6 north-star parity holds out of the box), "1", "0".
+refine_f64 = os.environ.get("GLIMS_REFINE_F64", "auto")
+
+
+def resolve_refine_f64(dtype=None):
+    """Resolve the refine_f64 tri-state for a model's working dtype.
+
+    Explicit GLIMS_REFINE_F64=0/1 wins; "auto" enables refinement exactly
+    when it can help: an f32 working dtype with jax x64 available for the
+    f64 defect residuals (without x64 the f64 kernels silently downcast and
+    refinement is a no-op that still costs residual evals)."""
+    if refine_f64 in ("0", "1"):
+        return refine_f64 == "1"
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return False
+    return bool(jax.config.read("jax_enable_x64"))
 
 
 def enable_x64():

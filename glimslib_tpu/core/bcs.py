@@ -241,6 +241,7 @@ class BoundaryConditions:
                 logger.error("von Neumann BC '%s' missing 'subspace_id'", bc_name)
                 continue
             fidx = None
+            interior_nodes = interior_cells = None
             if "named_boundary" in bc_dict:
                 try:
                     fidx = self._subdomains.named_boundary_facets(
@@ -249,6 +250,52 @@ class BoundaryConditions:
                 except KeyError:
                     fidx = None
             elif "subdomain_boundary" in bc_dict:
+                name = bc_dict["subdomain_boundary"]
+                if bc_dict.get("measure", "ds") == "dS":
+                    # Interior-facet 'dS' integration — EXCEEDS the
+                    # reference, which binds subdomain_boundary BCs to the
+                    # exterior 'ds' measure and documents that they
+                    # therefore contribute zero (helper_classes.py:747-767).
+                    # Opt-in via measure='dS': the surface integral runs
+                    # over the actual inter-tissue facets (φ is continuous
+                    # across them, so the flux/traction kernels apply
+                    # unchanged); per-facet coefficients come from the
+                    # lower-id adjacent cell.
+                    ss_ = self._functionspace.subspaces.get_subspace(
+                        subspace_id or 0
+                    )
+                    if ss_.degree == 2:
+                        raise NotImplementedError(
+                            "measure='dS' von Neumann BCs support P1 "
+                            "subspaces only"
+                        )
+                    if name not in self._subdomains.subdomain_boundaries_id_dict:
+                        logger.warning(
+                            "von Neumann BC '%s': unknown subdomain "
+                            "boundary '%s' -- skipping", bc_name, name,
+                        )
+                        continue
+                    interior_nodes = (
+                        self._subdomains.subdomain_boundary_facet_nodes(name)
+                    )
+                    interior_cells = (
+                        self._subdomains.subdomain_boundary_facet_cells(name)
+                    )
+
+                    def factory(dtype, m=m, fn=interior_nodes, nn=n_nodes):
+                        return _facet_kernels(
+                            m, None, nn, dtype=dtype, facet_nodes=fn
+                        )
+
+                    self.von_neumann_bcs[bc_name] = {
+                        "bc_value": bc_dict["bc_value"],
+                        "kernels": factory(self.dtype),
+                        "kernel_factory": factory,
+                        "subspace_id": subspace_id,
+                        "facet_idx": np.arange(len(interior_nodes)),
+                        "facet_cells": interior_cells[:, 0],
+                    }
+                    continue
                 # Reference semantics (helper_classes.py:819-825): the BC is
                 # bound to the exterior-facet 'ds' measure restricted to the
                 # inter-tissue marker.  Inter-tissue facets are interior by
@@ -256,7 +303,6 @@ class BoundaryConditions:
                 # intersection with the exterior boundary and contributes
                 # zero — the limitation the reference documents at
                 # helper_classes.py:747-756.
-                name = bc_dict["subdomain_boundary"]
                 if name not in self._subdomains.subdomain_boundaries_id_dict:
                     fidx = None
                 else:
@@ -269,9 +315,11 @@ class BoundaryConditions:
                             "marks interior facets only; the exterior 'ds' "
                             "measure integrates over none of them, so this "
                             "BC contributes zero (reference "
-                            "helper_classes.py:747-767 semantics). Use "
-                            "tissue-wise coefficients (D=0) to isolate "
-                            "subdomains instead.",
+                            "helper_classes.py:747-767 semantics). Pass "
+                            "measure='dS' to integrate over the interior "
+                            "facets themselves (exceeds the reference), or "
+                            "use tissue-wise coefficients (D=0) to isolate "
+                            "subdomains.",
                             bc_name, name,
                         )
             if fidx is None:

@@ -99,6 +99,7 @@ class SubDomains:
         self.subdomain_boundaries_id_dict: Dict[str, int] = {}
         self._subdomain_boundary_facets: Dict[int, np.ndarray] = {}
         self._subdomain_boundary_facet_nodes: Dict[int, np.ndarray] = {}
+        self._subdomain_boundary_facet_cells: Dict[int, np.ndarray] = {}
         self.named_boundaries_id_dict: Dict[str, int] = {}
         self.named_boundaries_function_dict: Dict[str, object] = {}
         self._named_boundary_facets: Dict[int, np.ndarray] = {}
@@ -157,6 +158,9 @@ class SubDomains:
             bid = boundary_id_dict[name]
             self._subdomain_boundary_facets[bid] = np.where(mask)[0]
             self._subdomain_boundary_facet_nodes[bid] = fnodes[mask]
+            self._subdomain_boundary_facet_cells[bid] = np.stack(
+                [c0[mask], c1[mask]], axis=1
+            )
         self.subdomain_boundaries_id_dict = boundary_id_dict
         self._all_facet_nodes = fnodes
 
@@ -216,6 +220,18 @@ class SubDomains:
     def subdomain_boundary_nodes(self, name_or_id) -> np.ndarray:
         """Unique nodes on an inter-tissue boundary (for Dirichlet BCs)."""
         return np.unique(self.subdomain_boundary_facet_nodes(name_or_id).ravel())
+
+    def subdomain_boundary_facet_cells(self, name_or_id) -> np.ndarray:
+        """(nf, 2) adjacent cells of each inter-tissue facet — both sides
+        of the interior 'dS' measure (column 0 = lower cell id)."""
+        bid = (
+            self.subdomain_boundaries_id_dict.get(name_or_id)
+            if isinstance(name_or_id, str)
+            else name_or_id
+        )
+        if bid is None:
+            raise KeyError(f"unknown subdomain boundary {name_or_id!r}")
+        return self._subdomain_boundary_facet_cells[bid]
 
     def subdomain_boundary_exterior_facets(self, name_or_id) -> np.ndarray:
         """ds(i) with exterior-facet semantics: indices into the mesh's

@@ -82,7 +82,7 @@ class Simulation(ABC):
             self.step_config = StepConfig(
                 newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7,
                 cg_maxiter=1000, precond_degree=_config.precond_degree,
-                refine_f64=_config.refine_f64,
+                refine_f64=_config.resolve_refine_f64(self.dtype),
             )
 
     # -- multi-chip (replaces mpirun, reference README.md:142-183) ----------
@@ -574,7 +574,7 @@ class Simulation(ABC):
             and self._gspmd_mesh is None
         )
         n_off = len(ops.offsets)
-        use_pallas_scalar = use_pallas and sp.scalar_fits(
+        use_pallas_scalar = use_pallas and sp.scalar_available(
             n_off, self.mesh.n_nodes
         )
         use_pallas_vector = use_pallas and sp.vector_fits(
@@ -621,16 +621,22 @@ class Simulation(ABC):
         rd_cg = el_cg = None
         n = self.mesh.n_nodes
         d = self.mesh.dim
-        if (
+        fused_ok = (
             pcck.fused_cg_enabled()
             and self.dtype == jnp.float32
             and self._gspmd_mesh is None
             and self.step_config.precond_degree <= 1
-            and pcck.scalar_cg_fits(n_off, n)
-            and pcck.vector_cg_fits(n_off, n, d)
-        ):
+        )
+        # gate the two solves independently: the scalar CG fits far past
+        # the point where the vector CG's VMEM budget runs out, so the rd
+        # solve must not lose its fused kernel to the elasticity fit
+        fits_rd = fused_ok and pcck.scalar_cg_fits(n_off, n)
+        fits_el = fused_ok and pcck.vector_cg_fits(n_off, n, d)
+        if fits_rd or fits_el:
             mask_u_, mask_c_, _, _ = self._bc_masks_and_values()
             cfg = self.step_config
+
+        if fits_rd:
 
             def rd_cg(theta, c, rhs, _mask_c=mask_c_):
                 if "_Wrd_const" in theta:
@@ -654,6 +660,8 @@ class Simulation(ABC):
                     ops.offsets, Wt, invdt, rhs,
                     cfg.cg_rtol, cfg.cg_atol, cfg.cg_maxiter, n,
                 )
+
+        if fits_el:
 
             def el_cg(theta, rhs, _mask_u=mask_u_):
                 Wt = theta.get("_WelT")
@@ -767,24 +775,29 @@ class Simulation(ABC):
         # instead of replicating
         theta["_Wel"] = self._shard_nodes(Wel, -1)
         theta["_Binv"] = self._shard_nodes(ops.block_jacobi_inverse(Wel), -1)
-        if getattr(self, "_fused_cg", False):
+        if getattr(self, "_fused_cg", False) or getattr(
+            self, "_fused_cg_rd", False
+        ):
             # mask-folded pre-tiled operator state for the whole-solve
             # Pallas CG kernels (ops/pallas_cg.py) — theta-only, built once
             # per simulate so the scan body never refolds the elasticity
-            # planes
+            # planes.  The rd and el kernels are gated independently (the
+            # scalar fit extends far past the vector VMEM budget).
             from glimslib_tpu.ops import pallas_cg as pcck
 
             mask_u_, mask_c_, _, _ = self._bc_masks_and_values()
             n = self.mesh.n_nodes
-            theta["_WelT"] = pcck.tile_vector_planes(
-                pcck.fold_mask_vector(ops.offsets, Wel, mask_u_), n
-            )
-            theta["_BinvT"] = pcck.tile_binv(
-                pcck.fold_mask_binv(theta["_Binv"], mask_u_), n
-            )
-            theta["_invdT"] = pcck.tile_field(
-                pcck.fold_mask_invdiag(self.rd_diag(theta), mask_c_), n
-            )
+            if getattr(self, "_fused_cg", False):
+                theta["_WelT"] = pcck.tile_vector_planes(
+                    pcck.fold_mask_vector(ops.offsets, Wel, mask_u_), n
+                )
+                theta["_BinvT"] = pcck.tile_binv(
+                    pcck.fold_mask_binv(theta["_Binv"], mask_u_), n
+                )
+            if getattr(self, "_fused_cg_rd", False):
+                theta["_invdT"] = pcck.tile_field(
+                    pcck.fold_mask_invdiag(self.rd_diag(theta), mask_c_), n
+                )
         theta["_Wrd_const"] = self._shard_nodes(
             ops.build_rd_jacobian_const(theta["D"], theta["rho"], theta["dt"]), -1
         )
@@ -886,6 +899,7 @@ class Simulation(ABC):
             self._stencil_builders()
         )
         self._fused_cg = el_cg is not None
+        self._fused_cg_rd = rd_cg is not None
         if rd_jacobian is None and el_operator is None:
             rd_jacobian, el_operator = self._ell_builders()
         rd_precond = None

@@ -585,24 +585,51 @@ class FacetKernels:
     M^f_ij = A (1+δ_ij)/(d(d+1)).
     """
 
-    def __init__(self, mesh, facet_idx: np.ndarray, n_nodes: int, dtype=jnp.float64):
+    def __init__(self, mesh, facet_idx: np.ndarray, n_nodes: int, dtype=jnp.float64,
+                 facet_nodes: np.ndarray = None):
+        """Build over exterior facets (``facet_idx`` into the mesh's
+        boundary facet arrays) or over an explicit facet-node array
+        (``facet_nodes`` (nf, dim), e.g. interior inter-tissue facets for
+        the 'dS' measure — exceeds the reference, which binds
+        subdomain_boundary BCs to the empty exterior intersection,
+        helper_classes.py:747-767).  With ``facet_nodes``, area and normal
+        come from the facet geometry; the normal's sign is arbitrary
+        (interior facets have no outward side)."""
         self.dim = mesh.dim
         self.dtype = dtype
-        fidx = np.asarray(facet_idx, dtype=np.int64)
-        self.n_facets = len(fidx)
-        self.facet_nodes = jnp.asarray(mesh.boundary_facet_nodes[fidx])
-        self.facet_area = jnp.asarray(mesh.boundary_facet_area[fidx], dtype=dtype)
-        self.facet_normal = jnp.asarray(
-            mesh.boundary_facet_normal[fidx], dtype=dtype
-        )
+        if facet_nodes is None:
+            fidx = np.asarray(facet_idx, dtype=np.int64)
+            fnodes = mesh.boundary_facet_nodes[fidx]
+            area = mesh.boundary_facet_area[fidx]
+            normal = mesh.boundary_facet_normal[fidx]
+        else:
+            fnodes = np.asarray(facet_nodes, dtype=np.int64)
+            coords = mesh.points[fnodes]  # (nf, dim, dim)
+            if mesh.dim == 2:
+                e = coords[:, 1] - coords[:, 0]
+                area = np.linalg.norm(e, axis=1)
+                normal = np.stack([e[:, 1], -e[:, 0]], axis=1)
+            elif mesh.dim == 3:
+                e1 = coords[:, 1] - coords[:, 0]
+                e2 = coords[:, 2] - coords[:, 0]
+                cr = np.cross(e1, e2)
+                area = 0.5 * np.linalg.norm(cr, axis=1)
+                normal = cr
+            else:
+                raise NotImplementedError("facet geometry needs dim 2 or 3")
+            normal = normal / np.maximum(
+                np.linalg.norm(normal, axis=1, keepdims=True), 1e-300
+            )
+        self.n_facets = len(fnodes)
+        self.facet_nodes = jnp.asarray(fnodes)
+        self.facet_area = jnp.asarray(area, dtype=dtype)
+        self.facet_normal = jnp.asarray(normal, dtype=dtype)
         self.facet_coords = jnp.asarray(
-            mesh.points[mesh.boundary_facet_nodes[fidx]], dtype=dtype
+            mesh.points[fnodes], dtype=dtype
         )  # (nf, d, dim)
         # where callables are evaluated (uniform interface with P2FacetKernels)
         self.value_coords = self.facet_coords
-        self.plan = make_scatter_plan(
-            mesh.boundary_facet_nodes[fidx], n_nodes
-        )
+        self.plan = make_scatter_plan(fnodes, n_nodes)
         d = mesh.dim
         nfn = d  # nodes per facet
         M = np.full((nfn, nfn), 1.0 / (d * (d + 1)))

@@ -39,6 +39,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from glimslib_tpu.ops.stencil_pallas import (
     _TILE,
@@ -128,12 +129,23 @@ def tile_vector_planes(W, n):
     ).reshape(n_off, d, d, npad // 128, 128)
 
 
+def _sym_pairs(d):
+    """Upper-triangle (a, b) order for the packed symmetric block inverse."""
+    return [(a, b) for a in range(d) for b in range(a, d)]
+
+
 def tile_binv(Binv, n):
-    """(d, d, n) -> (d, d, R, 128)."""
+    """(d, d, n) -> packed symmetric (d(d+1)/2, R, 128).
+
+    The block-Jacobi inverse is symmetric (inverses of symmetric SPD node
+    blocks; mask folding preserves symmetry), so only the upper triangle is
+    stored.  The saved d(d-1)/2 planes are what make the fused vector CG
+    fit VMEM at the N=48 lattice (117k nodes)."""
     npad = _pad_len(n)
     d = Binv.shape[0]
-    return jnp.pad(Binv.astype(jnp.float32), ((0, 0), (0, 0), (0, npad - n))
-                   ).reshape(d, d, npad // 128, 128)
+    rows = jnp.stack([Binv[a, b] for a, b in _sym_pairs(d)])
+    return jnp.pad(rows.astype(jnp.float32), ((0, 0), (0, npad - n))
+                   ).reshape(len(_sym_pairs(d)), npad // 128, 128)
 
 
 def tile_field(x, n):
@@ -158,10 +170,10 @@ def untile_field(xt, n, d=None):
 
 
 def _pick_rc(R, chunk_elems_per_row, fixed_bytes):
-    """Rows-per-DMA-chunk from {R, R/2, R/4, R/8} (R is a multiple of 8)
+    """Rows-per-DMA-chunk from {R, R/2, ..., R/32} (R is a multiple of 8)
     such that fixed VMEM + double-buffered chunks fit the budget; 0 if
     none fits."""
-    for div in (1, 2, 4, 8):
+    for div in (1, 2, 4, 8, 16, 32):
         if R % div:
             continue
         rc = R // div
@@ -180,7 +192,8 @@ def scalar_cg_fits(n_off, n):
 def vector_cg_fits(n_off, n, d):
     R = _pad_len(n) // 128
     vec = d * R * 128 * 4
-    fixed = 7 * vec + d * d * R * 128 * 4  # vectors + Binv
+    # vectors + packed symmetric Binv (d(d+1)/2 planes)
+    fixed = 7 * vec + (d * (d + 1) // 2) * R * 128 * 4
     return _pick_rc(R, d * d, fixed)
 
 
@@ -200,8 +213,12 @@ def _cg_scalar_kernel(offsets, R, Rc, maxiter, rtol, atol, interpret):
              r_ref, p_ref, acc_ref, wbuf_ref, sem):
         def chunk_dma(idx, slot):
             o, rc = chunks[idx]
+            # DMA indices must trace as i32: under jax x64 a bare Python int
+            # becomes an i64 constant, which Mosaic's memref_slice rejects
+            o = jnp.asarray(o, jnp.int32)
+            slot = jnp.asarray(slot, jnp.int32)
             return pltpu.make_async_copy(
-                w_hbm.at[o, pl.ds(rc * Rc, Rc), :],
+                w_hbm.at[o, pl.ds(jnp.asarray(rc * Rc, jnp.int32), Rc), :],
                 wbuf_ref.at[slot],
                 sem.at[slot],
             )
@@ -307,8 +324,12 @@ def _cg_vector_kernel(offsets, R, d, Rc, maxiter, rtol, atol, interpret):
              r_ref, p_ref, acc_ref, wbuf_ref, sem):
         def chunk_dma(idx, slot):
             o, rc = chunks[idx]
+            # i32 casts: Python ints trace to i64 under jax x64 (see
+            # _cg_scalar_kernel.chunk_dma)
+            o = jnp.asarray(o, jnp.int32)
+            slot = jnp.asarray(slot, jnp.int32)
             return pltpu.make_async_copy(
-                w_hbm.at[o, :, :, pl.ds(rc * Rc, Rc), :],
+                w_hbm.at[o, :, :, pl.ds(jnp.asarray(rc * Rc, jnp.int32), Rc), :],
                 wbuf_ref.at[slot],
                 sem.at[slot],
             )
@@ -337,13 +358,17 @@ def _cg_vector_kernel(offsets, R, d, Rc, maxiter, rtol, atol, interpret):
                     else:
                         acc_ref[a, rows, :] = acc_ref[a, rows, :] + cur
 
+        pair_idx = {p: i for i, p in enumerate(_sym_pairs(d))}
+
         def precond(r):
-            """block-Jacobi: z[a] = sum_b Binv[a,b] * r[b]."""
+            """block-Jacobi: z[a] = sum_b Binv[a,b] * r[b]; Binv packed
+            symmetric (upper-triangle plane order, see tile_binv)."""
             out = []
             for a in range(d):
                 cur = None
                 for bb_ in range(d):
-                    t = binv_ref[a, bb_] * r[bb_]
+                    i = pair_idx[(a, bb_) if a <= bb_ else (bb_, a)]
+                    t = binv_ref[i] * r[bb_]
                     cur = t if cur is None else cur + t
                 out.append(cur)
             return jnp.stack(out)

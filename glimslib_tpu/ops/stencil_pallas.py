@@ -77,6 +77,13 @@ def vector_fits(n_off: int, n: int, d: int) -> bool:
     return _pick_group(n, d) > 0
 
 
+def scalar_available(n_off: int, n: int) -> bool:
+    """True when apply_scalar_pallas can run: either the whole-resident
+    kernel fits, or the grouped-streaming fallback (d=1) does — the latter
+    extends the fast path past the ~120k-node ceiling (VERDICT r2 #4)."""
+    return scalar_fits(n_off, n) or _pick_group(n, 1) > 0
+
+
 def _flat_roll(x2, k):
     """Roll the flattened view of x2 (R, 128) by -k (fetch x[i+k]); k static."""
     from jax.experimental.pallas import tpu as pltpu
@@ -85,11 +92,14 @@ def _flat_roll(x2, k):
         return x2
     R = x2.shape[0]
     q, r = divmod(k % (R * 128), 128)
-    base = pltpu.roll(x2, -q % R, 0) if q else x2
+    # shift amounts trace as i32 (tpu.dynamic_rotate rejects the i64 a
+    # bare Python int becomes under jax x64)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+    base = pltpu.roll(x2, i32(-q % R), 0) if q else x2
     if r == 0:
         return base
-    a = pltpu.roll(base, -r % 128, 1)
-    b = pltpu.roll(a, -1 % R, 0)
+    a = pltpu.roll(base, i32(-r % 128), 1)
+    b = pltpu.roll(a, i32(-1 % R), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, x2.shape, 1)
     return jnp.where(lane < 128 - r, a, b)
 
@@ -121,8 +131,13 @@ def _scalar_kernel(offsets, R, n_off, interpret=False):
 def apply_scalar_pallas(offsets, W, v):
     """(A v)[i] = sum_o W[o, i] v[i + off_o] — planes and vector VMEM-resident.
 
-    ``W`` (n_off, n) f32, ``v`` (n,) f32."""
+    ``W`` (n_off, n) f32, ``v`` (n,) f32.  Above the whole-resident VMEM
+    ceiling the planes are streamed through the grouped grid kernel
+    (the d=1 case of the vector path) instead of falling back to XLA."""
     n = v.shape[0]
+    if not scalar_fits(len(offsets), n):
+        return apply_vector_pallas(offsets, W[:, None, None, :],
+                                   v[:, None])[:, 0]
     npad = _pad_len(n)
     R = npad // 128
     Wp = jnp.pad(W, ((0, 0), (0, npad - n))).reshape(len(offsets), R, 128)

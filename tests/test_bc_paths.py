@@ -202,3 +202,57 @@ def test_dirichlet_on_subdomain_boundary(tmp_path):
     nodes = sim.subdomains.subdomain_boundary_nodes("out_in")
     assert len(nodes) > 0
     assert np.allclose(sim.solution[1][nodes], 0.7, atol=1e-10)
+
+
+def test_von_neumann_interior_dS_measure(tmp_path):
+    """measure='dS' subdomain_boundary von Neumann BCs integrate over the
+    actual inter-tissue (interior) facets — exceeding the reference, which
+    documents that its exterior-ds binding makes them contribute zero
+    (helper_classes.py:747-767).  Validated against a direct per-edge
+    accumulation: each interface edge of length L adds q*L/2 to both
+    endpoint nodes (P1 facet mass row sums)."""
+    mesh = rectangle_mesh((-5, -5), (5, 5), 10, 10)
+    r = np.linalg.norm(mesh.points, axis=1)
+    labels = np.where(r < 2.5, 2.0, 1.0)
+    sim = TumorGrowth(mesh)
+    sim.setup_global_parameters(
+        label_function=labels,
+        domain_names={1: "out", 2: "in"},
+        boundaries={"boundary_all": All()},
+        dirichlet_bcs={
+            "clamped": {"bc_value": np.zeros(2),
+                        "named_boundary": "boundary_all", "subspace_id": 0},
+        },
+        von_neumann_bcs={
+            "interface_flux": {"bc_value": 3.0,
+                               "subdomain_boundary": "out_in",
+                               "subspace_id": 1, "measure": "dS"},
+        },
+    )
+    bc = sim.bcs.von_neumann_bcs["interface_flux"]
+    assert len(bc["facet_idx"]) > 0
+
+    # direct accumulation reference
+    fnodes = sim.subdomains.subdomain_boundary_facet_nodes("out_in")
+    pts = mesh.points
+    want = np.zeros(mesh.n_nodes)
+    for a, b in fnodes:
+        L = np.linalg.norm(pts[a] - pts[b])
+        want[a] += 3.0 * L / 2
+        want[b] += 3.0 * L / 2
+    got = np.asarray(sim.bcs.von_neumann_residual(1))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+    # facet coefficient cells are real adjacent cells of the facets
+    cells = sim.subdomains.subdomain_boundary_facet_cells("out_in")
+    assert cells.shape == (len(fnodes), 2)
+    assert (cells >= 0).all()
+
+    # the flux participates in a real solve
+    sim.setup_model_parameters(
+        iv_expression={0: np.zeros(2),
+                       1: lambda x: np.exp(-(x[:, 0]**2 + x[:, 1]**2))},
+        diffusion=0.1, coupling=0.1, proliferation=0.2, E=0.001,
+        poisson=0.4, sim_time=2, sim_time_step=1,
+    )
+    sim.run(save_method=None, plot=False, output_dir=str(tmp_path))
+    assert np.isfinite(np.asarray(sim.solution[1])).all()

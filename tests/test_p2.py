@@ -190,3 +190,35 @@ def test_brain_quad_adjoint_gradient(tmp_path):
         fd = (ip.objective(vp) - ip.objective(vm)) / (2 * eps)
         rel = abs(fd - g[i]) / max(abs(fd), 1e-12)
         assert rel < 1e-4, (i, fd, g[i], rel)
+
+
+def test_p2_vector_guards_raise():
+    """The two P2-vector guards stay explicit NotImplementedError paths
+    (guarded non-parity: the reference's quad models are P2-concentration
+    only, simulation_tumor_growth_quad.py:69 — VERDICT r2 keeps them
+    under test)."""
+    from glimslib_tpu.core.bcs import BoundaryConditions
+    from glimslib_tpu.core.functionspace import FunctionSpace
+    from glimslib_tpu.core.subdomains import SubDomains
+
+    mesh = rectangle_mesh((0, 0), (1, 1), 3, 3)
+    fs = FunctionSpace(mesh)
+    fs.init_function_space([(1, 2)], {0: "displacement"})  # P2 VECTOR
+
+    with pytest.raises(NotImplementedError, match="P2 vector projection"):
+        fs.project(np.zeros(2), 0)
+
+    sd = SubDomains(mesh)
+    sd.setup_subdomains()
+
+    class AllBoundary:
+        def inside(self, x, on_boundary):
+            return on_boundary
+
+    sd.setup_boundaries(boundary_fct_dict={"all": AllBoundary()})
+    bcs = BoundaryConditions(fs, sd)
+    with pytest.raises(NotImplementedError, match="degree-2 vector"):
+        bcs.setup_von_neumann_boundary_conditions({
+            "flux": {"bc_value": 1.0, "named_boundary": "all",
+                     "subspace_id": 0},
+        })

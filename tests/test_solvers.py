@@ -206,3 +206,28 @@ def test_mixed_precision_refinement_beats_f32(tmp_path):
     assert rel(cr, c) < 1e-6, rel(cr, c)
     assert rel(ur, u.reshape(-1, 2)) < 1e-6, rel(ur, u.reshape(-1, 2))
     assert rel(cr, c) < rel(c32, c)
+
+
+def test_refine_f64_auto_default(monkeypatch):
+    """GLIMS_REFINE_F64 defaults to 'auto': ON for f32 models when x64 is
+    available (VERDICT r2 #5 — 1e-6 north-star holds with default flags),
+    OFF for f64 models and under an explicit '0'."""
+    import jax.numpy as jnp
+
+    from glimslib_tpu import config as glims_config
+    from glimslib_tpu.core.mesh import rectangle_mesh
+    from glimslib_tpu.models.tumor_growth import TumorGrowth
+
+    monkeypatch.setattr(glims_config, "refine_f64", "auto")
+    # tests run with jax_enable_x64 on (conftest), so auto => True for f32
+    assert glims_config.resolve_refine_f64(jnp.float32) is True
+    assert glims_config.resolve_refine_f64(jnp.float64) is False
+    monkeypatch.setattr(glims_config, "refine_f64", "0")
+    assert glims_config.resolve_refine_f64(jnp.float32) is False
+    monkeypatch.setattr(glims_config, "refine_f64", "1")
+    assert glims_config.resolve_refine_f64(jnp.float32) is True
+
+    monkeypatch.setattr(glims_config, "refine_f64", "auto")
+    mesh = rectangle_mesh((0, 0), (1, 1), 4, 4)
+    assert TumorGrowth(mesh, dtype=jnp.float32).step_config.refine_f64
+    assert not TumorGrowth(mesh, dtype=jnp.float64).step_config.refine_f64

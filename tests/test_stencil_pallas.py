@@ -43,3 +43,39 @@ def test_pallas_matvecs_match_xla(mesh):
     want_v = np.asarray(ops.apply_vector(W, u))
     got_v = np.asarray(sp.apply_vector_pallas(ops.offsets, W, u))
     assert np.allclose(got_v, want_v, atol=1e-4), np.abs(got_v - want_v).max()
+
+
+def test_streamed_scalar_above_resident_ceiling(monkeypatch):
+    """apply_scalar_pallas routes through the grouped-streaming (d=1)
+    kernel when the whole-resident fit fails — the path that keeps N=48
+    lattices (117k nodes) off the XLA fallback (VERDICT r2 #4).  Forced
+    here by shrinking the VMEM budget so a small mesh exercises it."""
+    mesh = box_mesh((0, 0, 0), (1, 1, 1), 4, 4, 4)
+    ops = StencilOperators(mesh, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    Ws = ops.build_rd_jacobian_const(
+        jnp.asarray(0.1, jnp.float32), jnp.asarray(0.1, jnp.float32), 1.0)
+    c = jnp.asarray(rng.standard_normal(mesh.n_nodes), jnp.float32)
+    want = np.asarray(ops.apply_scalar(Ws, c))
+    # budget below the whole-resident requirement but enough for group=1
+    n_off = len(ops.offsets)
+    npad = sp._pad_len(mesh.n_nodes)
+    small = (n_off + 2) * npad * 4 - 1
+    assert (2 * 1 + 2) * npad * 4 <= small
+    monkeypatch.setattr(sp, "_VMEM_BUDGET", small)
+    assert not sp.scalar_fits(n_off, mesh.n_nodes)
+    assert sp.scalar_available(n_off, mesh.n_nodes)
+    got = np.asarray(sp.apply_scalar_pallas(ops.offsets, Ws, c))
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_n48_lattice_fits_fast_paths():
+    """Size regression: the N=48 lattice (117k nodes, 27 offsets) stays on
+    every Pallas fast path — matvec and whole-solve CG (packed Binv)."""
+    from glimslib_tpu.ops import pallas_cg as pc
+
+    n = 49 ** 3
+    assert sp.scalar_available(27, n)
+    assert sp.vector_fits(27, n, 3)
+    assert pc.scalar_cg_fits(27, n)
+    assert pc.vector_cg_fits(27, n, 3)

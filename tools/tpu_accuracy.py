@@ -124,13 +124,15 @@ def reference_f64(name, build, **kw):
 
 
 def run_f32(build, **kw):
+    from glimslib_tpu import config as glims_config
     from glimslib_tpu.solvers.coupled import StepConfig
 
     sim, steps = build(dtype=jnp.float32, **kw)
     sim.step_config = StepConfig(
         newton_rtol=1e-5, newton_atol=1e-6, cg_rtol=3e-7, cg_maxiter=2000,
         precond_degree=int(os.environ.get("GLIMS_PRECOND_DEGREE", "0")),
-        refine_f64=os.environ.get("GLIMS_REFINE_F64", "0") == "1",
+        # default flags ("auto") resolve to ON here: f32 model + x64 enabled
+        refine_f64=glims_config.resolve_refine_f64(jnp.float32),
     )
     theta = sim.make_theta(sim.params.as_dict())
     theta = jax.tree_util.tree_map(
@@ -162,9 +164,12 @@ def main():
             np.linalg.norm(u32.astype(np.float64).ravel() - u_ref.ravel())
             / max(np.linalg.norm(u_ref), 1e-300)
         )
+        from glimslib_tpu import config as glims_config
+
         print(json.dumps({
             "config": name, "rel_c": f"{rel_c:.3e}", "rel_u": f"{rel_u:.3e}",
             "dtype": "float32", "backend": backend,
+            "refine_f64": glims_config.resolve_refine_f64(jnp.float32),
         }), flush=True)
 
 
