@@ -66,6 +66,17 @@ class StepConfig(NamedTuple):
     # ~1e-7 accuracy at a few emulated-f64 residual evals per step.
     # Requires jax_enable_x64; no effect when the working dtype is f64.
     refine_f64: bool = False
+    # Modified Newton (chord method) for the concentration block on
+    # ASSEMBLED-operator paths: freeze the rd Jacobian at the step's
+    # start instead of re-assembling it every Newton iteration.  Newton
+    # still measures (and converges on) the exact residual, so the
+    # solution is unchanged — only the contraction rate differs, and the
+    # per-step Jacobian drift is O(dt*rho*(c - c_prev)), tiny for the
+    # reference's time steps.  Saves one supernode halo-ELL assembly
+    # (~55 ms at 197k tets, 30% of the step) per additional Newton
+    # iteration.  Ignored on matrix-free (jvp) and fused-lattice paths
+    # where the per-iteration Jacobian is cheap.
+    rd_modified_newton: bool = True
 
 
 def _masked(mask, bc_values, free_residual):
@@ -197,6 +208,21 @@ def make_step(
         f0 = jnp.sqrt(jnp.sum(r0 * r0))
         ftol = jnp.maximum(cfg.newton_rtol * f0, cfg.newton_atol)
 
+        # modified Newton: one Jacobian assembly per step, hoisted out of
+        # the Newton loop (see StepConfig.rd_modified_newton).  Accuracy
+        # mode (refine_f64) keeps the exact per-iteration Jacobian: the
+        # chord method lands the final iterate just under ftol instead of
+        # quadratically below it, which costs the refined run its margin.
+        freeze_jac = (
+            cfg.rd_modified_newton
+            and not use_refine
+            and rd_jacobian is not None
+            and rd_cg is None
+        )
+        A_frozen = (
+            _op_masked(rd_jacobian(theta, c0), mask_c) if freeze_jac else None
+        )
+
         def cond(state):
             c, r, fnorm, k, bad = state
             return jnp.logical_and(
@@ -207,7 +233,9 @@ def make_step(
         def body(state):
             # the current residual is carried: one residual eval per iter
             c, r, fnorm, k, bad = state
-            if rd_jacobian is not None:
+            if freeze_jac:
+                A = A_frozen
+            elif rd_jacobian is not None:
                 A = _op_masked(rd_jacobian(theta, c), mask_c)
             else:
                 A = _masked_operator(resid_c, c, mask_c)

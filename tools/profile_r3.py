@@ -82,34 +82,84 @@ def profile_unstructured(n):
     iv = sim.params.create_initial_value_function()
     u0 = jnp.asarray(iv[0], dtype=dtype)
     c0 = jnp.asarray(iv[1], dtype=dtype)
+    aux = sim.runtime_aux()
+    jax.block_until_ready(aux)
 
     # full step timing
     simulate = jax.jit(sim.build_simulate_fn(N_STEPS, 1.0))
+    args = (theta0, u0, c0, aux) if aux else (theta0, u0, c0)
     t0 = time.perf_counter()
-    traj = simulate(theta0, u0, c0)
+    traj = simulate(*args)
     jax.block_until_ready(traj)
     out["compile_plus_run_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    traj = simulate(theta0, u0, c0)
+    traj = simulate(*args)
     jax.block_until_ready(traj)
     out["step_ms"] = (time.perf_counter() - t0) / N_STEPS * 1e3
     out["newton_iters"] = np.asarray(traj[3]).tolist()
 
-    # augmented theta (ELL planes + BinvG) for operator timing
-    aug = jax.jit(sim._augment_theta_with_operators)(theta0)
+    # augmented theta (assembled operator planes + preconditioner state)
+    aug = jax.jit(sim._augment_theta_with_operators)({**theta0, **aux})
     jax.block_until_ready(aug)
-    plan = sim._ell_plan
-    out["ell_K"] = int(plan.K)
+    use_bell = sim._use_bell()
     rd_jac_b, el_op_b = sim._ell_builders()
     el_op = el_op_b(aug)
     rd_op_f = rd_jac_b(aug, c0)
     kern = sim.kernels
-    Binv = aug["_BinvG"]
+    if use_bell:
+        from glimslib_tpu.ops import bell as bell_mod
+
+        bplan = sim._get_bell_plan()
+        out["bell_blocks"] = int(bplan.nb)
+        out["bell_s"] = int(bplan.s)
+        out["bell_Kh"] = int(bplan.Kh)
+        el_base = lambda r: bell_mod.apply_supernode_jacobi(
+            bplan, aug["_BinvSN"], r)
+    else:
+        out["ell_K"] = int(sim._ell_plan.K)
+        el_base = lambda r: kern.apply_block_jacobi(aug["_BinvG"], r)
+    agg = sim._twolevel_aggplan()
+    if agg is not None and "_TLCfac" in aug:
+        from glimslib_tpu.solvers.twolevel import make_twolevel_precond
+
+        el_M = make_twolevel_precond(agg, aug["_TLCfac"], aug["_TLMt"],
+                                     el_base)
+        out["twolevel"] = True
+    else:
+        el_M = el_base
+        out["twolevel"] = False
 
     out["el_matvec_ms"] = _time_inloop(jax, jnp, el_op, u0 + 0.01) * 1e3
     out["rd_matvec_ms"] = _time_inloop(jax, jnp, rd_op_f, c0 + 0.01) * 1e3
-    out["el_precond_ms"] = _time_inloop(
-        jax, jnp, lambda r: kern.apply_block_jacobi(Binv, r), u0 + 0.01) * 1e3
+    out["el_precond_ms"] = _time_inloop(jax, jnp, el_M, u0 + 0.01) * 1e3
+
+    # the per-Newton work OUTSIDE the CG loop: rd Jacobian re-assembly
+    # (build_bell_rd_wc's placement gathers) and the matrix-free residual
+    # evaluations
+    t1 = jnp.asarray(1.0, sim.dtype)
+    if use_bell:
+        tb = sim._bell_tables_from(aug)
+        arrays = (kern.grads_T, kern.vol)
+
+        def rd_assemble(c):
+            W = bell_mod.build_bell_rd_wc(
+                bplan, arrays, kern.cells_flat, c, aug["rho"], aug["dt"],
+                kern._t0, 1.0, sim.dtype, tables=tb)
+            return c + 1e-30 * jnp.sum(W)
+
+        out["rd_jac_assemble_ms"] = _time_inloop(
+            jax, jnp, rd_assemble, c0 + 0.01, iters=20) * 1e3
+
+    def rd_resid(c):
+        return sim.rd_residual(c, c0, aug, t1)
+
+    def el_resid(u):
+        return sim.el_residual(u, c0, aug, t1)
+
+    out["rd_residual_ms"] = _time_inloop(
+        jax, jnp, rd_resid, c0 + 0.01, iters=20) * 1e3
+    out["el_residual_ms"] = _time_inloop(
+        jax, jnp, el_resid, u0 + 0.01, iters=20) * 1e3
 
     # CG iteration counts per step, re-solved from the trajectory
     mask_u, mask_c, gu, gc = sim._bc_masks_and_values()
@@ -123,8 +173,7 @@ def profile_unstructured(n):
         raw = el_op_b(theta)
         Au = lambda v: jnp.where(mask_u, v, raw(jnp.where(mask_u, 0.0, v)))
         Mu = lambda r: jnp.where(
-            mask_u, r,
-            kern.apply_block_jacobi(theta["_BinvG"], jnp.where(mask_u, 0.0, r)))
+            mask_u, r, el_M(jnp.where(mask_u, 0.0, r)))
         u0_ = jnp.where(mask_u, guv, u_prev)
         ru = resid_u(u0_)
         du, info = pcg(Au, jnp.where(mask_u, 0.0, -ru), M=Mu,
@@ -137,10 +186,18 @@ def profile_unstructured(n):
         gcv = gc(t)
         raw = rd_jac_b(theta, c_lin)
         Ac = lambda v: jnp.where(mask_c, v, raw(jnp.where(mask_c, 0.0, v)))
-        diag_c = jnp.where(mask_c, 1.0, sim.rd_diag(theta))
+        if use_bell and "_McSN" in theta:
+            from glimslib_tpu.ops import bell as bell_mod
+
+            Mc = lambda r: jnp.where(
+                mask_c, r, bell_mod.apply_supernode_jacobi(
+                    bplan, theta["_McSN"], jnp.where(mask_c, 0.0, r)))
+        else:
+            diag_c = jnp.where(mask_c, 1.0, sim.rd_diag(theta))
+            Mc = lambda r: r / diag_c
         r = jnp.where(mask_c, c_lin - gcv,
                       sim.rd_residual(c_lin, c_prev, theta, t))
-        dc, info = pcg(Ac, jnp.where(mask_c, 0.0, -r), M=lambda r: r / diag_c,
+        dc, info = pcg(Ac, jnp.where(mask_c, 0.0, -r), M=Mc,
                        rtol=cfg.cg_rtol, atol=cfg.cg_atol,
                        maxiter=cfg.cg_maxiter)
         return info["iters"], info["resnorm"]
@@ -158,6 +215,22 @@ def profile_unstructured(n):
         rd_iters.append(int(it_c))
     out["el_cg_iters_per_step"] = el_iters
     out["rd_cg_iters_per_final_newton"] = rd_iters
+
+    # wall time of the whole jitted solves (includes residual + assembly +
+    # CG) — closes the accounting gap vs matvec*iters estimates
+    t = jnp.asarray(1.0, dtype)
+    for name, fn, a in (
+        ("el_solve_wall_ms",
+         lambda: el_solve_iters(aug, u0, c_traj[0], t), None),
+        ("rd_solve_wall_ms",
+         lambda: rd_solve_iters(aug, c_traj[0], c0, t), None),
+    ):
+        r = fn(); jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            r = fn()
+            jax.block_until_ready(r)
+        out[name] = (time.perf_counter() - t0) / 3 * 1e3
 
     # accounting: matvec+precond cost * iters vs step time
     per_it = out["el_matvec_ms"] + out["el_precond_ms"]
