@@ -19,6 +19,12 @@ Design:
   preconditioner (solvers/cg.py), targeting the upper spectrum
   [lmax/8, lmax] — symmetric, so the V(1,1) cycle with ``R = Pᵀ`` is a
   symmetric positive preconditioner and plain CG stays valid;
+- coarsest level: exact dense solve (the halving recursion bottoms out
+  below 4 cells/axis, so the coarse inverse is a tiny (n_dofs, n_dofs)
+  matrix) — stronger than a polynomial sweep and it keeps ~1e3 unrolled
+  stencil applications out of the CG while-loop body (pathological XLA
+  CPU compile times); degree-``coarse_degree`` Chebyshev remains the
+  fallback above ``DENSE_COARSE_MAX_DOFS``;
 - Dirichlet masks restricted by injection; all level vectors keep masked
   dofs at exactly zero.
 
@@ -266,11 +272,34 @@ class _MGBase:
 
     # subclass hooks -------------------------------------------------------
 
+    # dense coarse solves stay affordable up to this many dofs (Cinv is
+    # n_dofs^2; 2048 -> 32 MB f64)
+    DENSE_COARSE_MAX_DOFS = 2048
+
     def _apply_op(self, lv, data_lv, v):
         raise NotImplementedError
 
     def _apply_inner(self, lv, data_lv, r):
         raise NotImplementedError
+
+    def _dense_coarse_inverse(self, lv, data_lv, shape):
+        """Exact inverse of the masked coarsest-level operator.
+
+        The coarsest lattice is tiny (halving stops below 4 cells/axis),
+        so the V-cycle bottom is one dense (n_dofs, n_dofs) matvec instead
+        of a degree-40 Chebyshev sweep — stronger, and it keeps ~1e3
+        unrolled stencil applications out of the CG while-loop body
+        (measured: the unrolled coarse Chebyshev made the jitted
+        MG-preconditioned CG compile pathologically slow on 1-core XLA
+        CPU).  Masked dofs are identity rows by construction of the
+        masked op."""
+        n_dofs = 1
+        for s in shape:
+            n_dofs *= s
+        A = self._masked_op(lv, data_lv)
+        eye = jnp.eye(n_dofs, dtype=self.h.dtype)
+        cols = jax.vmap(lambda e: A(e.reshape(shape)).reshape(-1))(eye)
+        return jnp.linalg.inv(cols.T)
 
     def _masked_op(self, lv, data_lv):
         mask = self.masks[lv]
@@ -301,11 +330,15 @@ class _MGBase:
 
     def _cycle(self, lv, data, r):
         h = self.h
-        lmax = data[lv]["lmax"]
         A = self._masked_op(lv, data[lv])
         M_in = self._masked_inner(lv, data[lv])
         if lv == h.n_levels - 1:
-            return make_chebyshev_precond(A, M_in, lmax, self.coarse_degree)(r)
+            if "Cinv" in data[lv]:
+                z = data[lv]["Cinv"] @ r.reshape(-1)
+                return z.reshape(r.shape)
+            return make_chebyshev_precond(
+                A, M_in, data[lv]["lmax"], self.coarse_degree)(r)
+        lmax = data[lv]["lmax"]
         # smoother: damp the upper spectrum only (classic Chebyshev
         # smoothing interval) — a wide interval at low degree smooths
         # nothing and stalls the cycle
@@ -342,7 +375,11 @@ class MGElasticity(_MGBase):
             A = self._masked_op(lv, d)
             M = self._masked_inner(lv, d)
             n = h.meshes[lv].n_nodes
-            d["lmax"] = estimate_lmax(A, M, (n, h.ndim), W.dtype)
+            if (lv == h.n_levels - 1
+                    and n * h.ndim <= self.DENSE_COARSE_MAX_DOFS):
+                d["Cinv"] = self._dense_coarse_inverse(lv, d, (n, h.ndim))
+            else:
+                d["lmax"] = estimate_lmax(A, M, (n, h.ndim), W.dtype)
             data.append(d)
         return tuple(data)
 
@@ -378,7 +415,11 @@ class MGScalar(_MGBase):
             A = self._masked_op(lv, d)
             M = self._masked_inner(lv, d)
             n = h.meshes[lv].n_nodes
-            d["lmax"] = estimate_lmax(A, M, (n,), W.dtype)
+            if (lv == h.n_levels - 1
+                    and n <= self.DENSE_COARSE_MAX_DOFS):
+                d["Cinv"] = self._dense_coarse_inverse(lv, d, (n,))
+            else:
+                d["lmax"] = estimate_lmax(A, M, (n,), W.dtype)
             data.append(d)
         return tuple(data)
 

@@ -40,21 +40,26 @@ def _setup_jax():
     return jax
 
 
-def _time_inloop(jax, jnp, op, x0, iters=50):
-    """In-loop timing that mutates the carry (CLAUDE.md perf model)."""
+def _time_inloop(jax, jnp, op, x0, iters=50, args=()):
+    """In-loop timing that mutates the carry (CLAUDE.md perf model).
+
+    Large operator tables MUST be threaded through ``args`` (op receives
+    them after x): as closure constants they are folded into the compiled
+    executable (a 760 MB cache entry at 197k tets) and blow the axon
+    remote-compile payload/time."""
 
     @jax.jit
-    def loop(x):
+    def loop(x, *a):
         def body(i, x):
-            y = op(x)
+            y = op(x, *a)
             return y / (1.0 + 1e-30 * jnp.max(jnp.abs(y)))
 
         return jax.lax.fori_loop(0, iters, body, x)
 
-    y = loop(x0)
+    y = loop(x0, *args)
     jax.block_until_ready(y)
     t0 = time.perf_counter()
-    y = loop(x0)
+    y = loop(x0, *args)
     jax.block_until_ready(y)
     return (time.perf_counter() - t0) / iters
 
@@ -103,9 +108,10 @@ def profile_unstructured(n):
     jax.block_until_ready(aug)
     use_bell = sim._use_bell()
     rd_jac_b, el_op_b = sim._ell_builders()
-    el_op = el_op_b(aug)
-    rd_op_f = rd_jac_b(aug, c0)
     kern = sim.kernels
+    # every big operator table is threaded as a jit ARGUMENT below (args=)
+    # — as closure constants they fold into the executable (760 MB cache
+    # entries) and blow axon remote-compile time/payload
     if use_bell:
         from glimslib_tpu.ops import bell as bell_mod
 
@@ -113,57 +119,107 @@ def profile_unstructured(n):
         out["bell_blocks"] = int(bplan.nb)
         out["bell_s"] = int(bplan.s)
         out["bell_Kh"] = int(bplan.Kh)
-        el_base = lambda r: bell_mod.apply_supernode_jacobi(
-            bplan, aug["_BinvSN"], r)
+        tb = sim._bell_tables_from(aug)
+        Wrd = jax.jit(
+            lambda a, c: bell_mod.build_bell_rd_const(
+                bplan, (kern.grads_T, kern.vol), a["D"], a["rho"], a["dt"],
+                kern._m0, sim.dtype, tables=sim._bell_tables_from(a))
+            + bell_mod.build_bell_rd_wc(
+                bplan, (kern.grads_T, kern.vol), kern.cells_flat, c,
+                a["rho"], a["dt"], kern._t0, 1.0, sim.dtype,
+                tables=sim._bell_tables_from(a)))(aug, c0)
+        jax.block_until_ready(Wrd)
+        out["el_matvec_ms"] = _time_inloop(
+            jax, jnp,
+            lambda u, halo, W: bell_mod.apply_bell_vector(bplan, halo, W, u),
+            u0 + 0.01, args=(aug["_BellHalo"], aug["_BellWel"])) * 1e3
+        out["rd_matvec_ms"] = _time_inloop(
+            jax, jnp,
+            lambda v, halo, W: bell_mod.apply_bell_scalar(bplan, halo, W, v),
+            c0 + 0.01, args=(aug["_BellHalo"], Wrd)) * 1e3
+        out["el_precond_sn_ms"] = _time_inloop(
+            jax, jnp,
+            lambda r, B: bell_mod.apply_supernode_jacobi(bplan, B, r),
+            u0 + 0.01, args=(aug["_BinvSN"],)) * 1e3
+        el_precond_key = "el_precond_sn_ms"
     else:
         out["ell_K"] = int(sim._ell_plan.K)
-        el_base = lambda r: kern.apply_block_jacobi(aug["_BinvG"], r)
+        adj = jnp.asarray(sim._ell_plan.adj)
+        from glimslib_tpu.ops import ell as ell_mod
+
+        out["el_matvec_ms"] = _time_inloop(
+            jax, jnp,
+            lambda u, B: ell_mod.apply_ell_vector(adj, B, u),
+            u0 + 0.01, args=(aug["_EllWel"],)) * 1e3
+        out["el_precond_bj_ms"] = _time_inloop(
+            jax, jnp,
+            lambda r, B: kern.apply_block_jacobi(B, r),
+            u0 + 0.01, args=(aug["_BinvG"],)) * 1e3
+        el_precond_key = "el_precond_bj_ms"
     agg = sim._twolevel_aggplan()
     if agg is not None and "_TLCfac" in aug:
         from glimslib_tpu.solvers.twolevel import make_twolevel_precond
 
-        el_M = make_twolevel_precond(agg, aug["_TLCfac"], aug["_TLMt"],
-                                     el_base)
-        out["twolevel"] = True
-    else:
-        el_M = el_base
-        out["twolevel"] = False
+        def tl_apply(r, Cfac, Mt, Binv):
+            if use_bell:
+                base = lambda x: bell_mod.apply_supernode_jacobi(
+                    bplan, Binv, x)
+            else:
+                base = lambda x: kern.apply_block_jacobi(Binv, x)
+            return make_twolevel_precond(agg, Cfac, Mt, base)(r)
 
-    out["el_matvec_ms"] = _time_inloop(jax, jnp, el_op, u0 + 0.01) * 1e3
-    out["rd_matvec_ms"] = _time_inloop(jax, jnp, rd_op_f, c0 + 0.01) * 1e3
-    out["el_precond_ms"] = _time_inloop(jax, jnp, el_M, u0 + 0.01) * 1e3
+        out["el_precond_2lvl_ms"] = _time_inloop(
+            jax, jnp, tl_apply, u0 + 0.01,
+            args=(aug["_TLCfac"], aug["_TLMt"],
+                  aug["_BinvSN"] if use_bell else aug["_BinvG"])) * 1e3
+        out["twolevel"] = True
+        el_precond_key = "el_precond_2lvl_ms"
+    else:
+        out["twolevel"] = False
+    print(json.dumps(out), file=sys.stderr, flush=True)
 
     # the per-Newton work OUTSIDE the CG loop: rd Jacobian re-assembly
     # (build_bell_rd_wc's placement gathers) and the matrix-free residual
     # evaluations
     t1 = jnp.asarray(1.0, sim.dtype)
     if use_bell:
-        tb = sim._bell_tables_from(aug)
         arrays = (kern.grads_T, kern.vol)
 
-        def rd_assemble(c):
+        def rd_assemble(c, a):
             W = bell_mod.build_bell_rd_wc(
-                bplan, arrays, kern.cells_flat, c, aug["rho"], aug["dt"],
-                kern._t0, 1.0, sim.dtype, tables=tb)
+                bplan, arrays, kern.cells_flat, c, a["rho"], a["dt"],
+                kern._t0, 1.0, sim.dtype, tables=sim._bell_tables_from(a))
             return c + 1e-30 * jnp.sum(W)
 
         out["rd_jac_assemble_ms"] = _time_inloop(
-            jax, jnp, rd_assemble, c0 + 0.01, iters=20) * 1e3
-
-    def rd_resid(c):
-        return sim.rd_residual(c, c0, aug, t1)
-
-    def el_resid(u):
-        return sim.el_residual(u, c0, aug, t1)
+            jax, jnp, rd_assemble, c0 + 0.01, iters=20, args=(aug,)) * 1e3
 
     out["rd_residual_ms"] = _time_inloop(
-        jax, jnp, rd_resid, c0 + 0.01, iters=20) * 1e3
+        jax, jnp, lambda c, a: sim.rd_residual(c, c0, a, t1),
+        c0 + 0.01, iters=20, args=(aug,)) * 1e3
     out["el_residual_ms"] = _time_inloop(
-        jax, jnp, el_resid, u0 + 0.01, iters=20) * 1e3
+        jax, jnp, lambda u, a: sim.el_residual(u, c0, a, t1),
+        u0 + 0.01, iters=20, args=(aug,)) * 1e3
+    print(json.dumps(out), file=sys.stderr, flush=True)
 
     # CG iteration counts per step, re-solved from the trajectory
     mask_u, mask_c, gu, gc = sim._bc_masks_and_values()
     cfg = sim.step_config
+
+    def _el_M(theta):
+        """Preconditioner rebuilt from theta INSIDE the jit (theta is an
+        argument, so the big arrays stay arguments)."""
+        if use_bell:
+            base = lambda x: bell_mod.apply_supernode_jacobi(
+                bplan, theta["_BinvSN"], x)
+        else:
+            base = lambda x: kern.apply_block_jacobi(theta["_BinvG"], x)
+        if agg is not None and "_TLCfac" in theta:
+            from glimslib_tpu.solvers.twolevel import make_twolevel_precond
+
+            return make_twolevel_precond(
+                agg, theta["_TLCfac"], theta["_TLMt"], base)
+        return base
 
     @jax.jit
     def el_solve_iters(theta, u_prev, c, t):
@@ -171,6 +227,7 @@ def profile_unstructured(n):
         resid_u = lambda u: jnp.where(
             mask_u, u - guv, sim.el_residual(u, c, theta, t))
         raw = el_op_b(theta)
+        el_M = _el_M(theta)
         Au = lambda v: jnp.where(mask_u, v, raw(jnp.where(mask_u, 0.0, v)))
         Mu = lambda r: jnp.where(
             mask_u, r, el_M(jnp.where(mask_u, 0.0, r)))
@@ -233,7 +290,7 @@ def profile_unstructured(n):
         out[name] = (time.perf_counter() - t0) / 3 * 1e3
 
     # accounting: matvec+precond cost * iters vs step time
-    per_it = out["el_matvec_ms"] + out["el_precond_ms"]
+    per_it = out["el_matvec_ms"] + out[el_precond_key]
     out["el_solve_est_ms"] = per_it * float(np.mean(el_iters))
     return out
 
