@@ -97,8 +97,12 @@ def run_unstructured(n=None):
                      mesh_transform=lambda m: Mesh.from_arrays(
                          m.points, m.cells).reordered_morton())
     if dtype == jnp.float32:
+        # rd_cg_rtol: inexact-Newton forcing for the c-block inner solves
+        # (solvers/coupled.py StepConfig) — Newton still converges the
+        # exact residual to newton_rtol, measured end-state diff ~1e-6
         sim.step_config = StepConfig(
             newton_rtol=1e-4, newton_atol=1e-5, cg_rtol=1e-7, cg_maxiter=800,
+            rd_cg_rtol=1e-3,
             precond_degree=sim.step_config.precond_degree,
         )
     assert sim.mesh.lattice_strides is None, (

@@ -316,6 +316,7 @@ class Simulation(ABC):
 
     _ell_plan = None
     _bell_plan = None
+    _rd_jacobian_chord = None  # set by _ell_builders on the bell path
 
     def _use_bell(self):
         """Supernode halo-ELL (ops/bell.py) replaces node block-ELL on the
@@ -373,6 +374,11 @@ class Simulation(ABC):
             def el_operator(theta):
                 tb = tb_of(theta)
                 halo = (tb or bplan.tables())["_BellHalo"]
+                if isinstance(theta, dict) and "_BellWelT" in theta:
+                    WT = theta["_BellWelT"]
+                    return lambda u: bell_mod.apply_bell_vector_T(
+                        bplan, halo, WT, u
+                    )
                 W = (
                     theta.get("_BellWel")
                     if isinstance(theta, dict) else None
@@ -389,7 +395,7 @@ class Simulation(ABC):
             rd_jacobian = None
             if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
 
-                def rd_jacobian(theta, c):
+                def _rd_const_planes(theta):
                     tb = tb_of(theta)
                     halo = (tb or bplan.tables())["_BellHalo"]
                     W = (
@@ -401,13 +407,47 @@ class Simulation(ABC):
                             bplan, arrays, theta["D"], theta["rho"],
                             theta["dt"], kern._m0, self.dtype, tables=tb,
                         )
+                    return tb, halo, W
+
+                def rd_jacobian(theta, c):
+                    tb, halo, W = _rd_const_planes(theta)
                     W = W + bell_mod.build_bell_rd_wc(
                         bplan, arrays, kern.cells_flat, c, theta["rho"],
                         theta["dt"], kern._t0, 1.0, self.dtype, tables=tb,
                     )
+                    if isinstance(theta, dict) and "_BellWrdCT" in theta:
+                        # block-lanes layout: transpose once per SOLVE
+                        # (22 MB at flagship scale, ~0.03 ms) so every CG
+                        # iteration runs the fast kernel
+                        WT = jnp.transpose(W, (1, 2, 0))
+                        return lambda v: bell_mod.apply_bell_scalar_T(
+                            bplan, halo, WT, v
+                        )
                     return lambda v: bell_mod.apply_bell_scalar(
                         bplan, halo, W, v
                     )
+
+                # chord (modified-Newton) operator: constant planes + the
+                # LUMPED logistic correction — skips the per-step halo-ELL
+                # wc assembly (~56 ms at 197k tets).  Only ever used for
+                # the frozen forward Jacobian (solvers/coupled.py); the
+                # IFT adjoint keeps the exact rd_jacobian above.
+                def rd_jacobian_chord(theta, c):
+                    tb, halo, W = _rd_const_planes(theta)
+                    dl = bell_mod.build_bell_rd_wc_lumped(
+                        bplan, arrays, kern.cells_flat, c, theta["rho"],
+                        theta["dt"], kern._t0, 1.0, self.dtype, tables=tb,
+                    )
+                    if isinstance(theta, dict) and "_BellWrdCT" in theta:
+                        WT = theta["_BellWrdCT"]
+                        return lambda v: bell_mod.apply_bell_scalar_T(
+                            bplan, halo, WT, v
+                        ) + dl * v
+                    return lambda v: bell_mod.apply_bell_scalar(
+                        bplan, halo, W, v
+                    ) + dl * v
+
+                self._rd_jacobian_chord = rd_jacobian_chord
 
             return rd_jacobian, el_operator
         from glimslib_tpu.ops import ell as ell_mod
@@ -528,9 +568,45 @@ class Simulation(ABC):
             )
             Ac = tl.build_coarse(agg, jnp.asarray(plan.adj), B, mask_u)
             Cfac = tl.coarse_inverse(Ac)
+            import os as _os
+
+            if self.dtype == jnp.float32 and _os.environ.get(
+                "GLIMS_TWOLEVEL_BF16", "1"
+            ) != "0":
+                # halve the coarse factor's HBM traffic (the dominant cost
+                # of the two-level apply: 182 MB f32 streamed twice per CG
+                # iteration at 36k nodes) — the Gram form B Bᵀ stays PSD in
+                # any storage precision (solvers/twolevel.py)
+                Cfac = Cfac.astype(jnp.bfloat16)
             f = 1.0 - _np.asarray(mask_u).astype(_np.float64)
-            Mt = agg.mode_matrix(f).astype(self.dtype)
+            # node-axis-LAST mode matrix (d, q, n_pad): the canonical
+            # (n_pad, d, q) layout pads q=12 to 128 lanes (10x the HBM
+            # traffic per transfer) — see AggPlan.restrict_T
+            Mt = jnp.transpose(agg.mode_matrix(f), (1, 2, 0)).astype(
+                self.dtype
+            )
             self._twolevel_cache = {"_TLCfac": Cfac, "_TLMt": Mt}
+            # scalar coarse level for the rd concentration solves, built
+            # from the CONSTANT rd Jacobian planes (the logistic shift is
+            # a small SPD perturbation — same freeze rationale as _McSN)
+            if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
+                _, mask_c, _, _ = self._bc_masks_and_values()
+                Wrd = ell_mod.build_ell_rd_const(
+                    plan, (kern.grads_T, kern.vol), theta0["D"],
+                    theta0["rho"], theta0["dt"], kern._m0, self.dtype,
+                )
+                Acs = tl.build_coarse_scalar(
+                    agg, jnp.asarray(plan.adj), Wrd, mask_c
+                )
+                Cfs = tl.coarse_inverse(Acs)
+                if self.dtype == jnp.float32 and _os.environ.get(
+                    "GLIMS_TWOLEVEL_BF16", "1"
+                ) != "0":
+                    Cfs = Cfs.astype(jnp.bfloat16)
+                fc = 1.0 - _np.asarray(mask_c).astype(_np.float64)
+                Mts = agg.mode_matrix_scalar(fc).T.astype(self.dtype)
+                self._twolevel_cache["_TLCfacS"] = Cfs
+                self._twolevel_cache["_TLMtS"] = Mts
         out.update(self._twolevel_cache)
         return out
 
@@ -727,16 +803,29 @@ class Simulation(ABC):
                 mask_u, mask_c, _, _ = self._bc_masks_and_values()
                 theta = dict(theta)
                 tb = self._bell_tables_from(theta)
+                use_T = (
+                    self.dtype == jnp.float32
+                    and bell_mod.bell_T_available(bplan, self.mesh.dim)
+                )
                 Wel = bell_mod.build_bell_elasticity(
                     bplan, arrays, theta["mu"], theta["lam"], self.dtype,
                     tables=tb,
                 )
-                theta["_BellWel"] = Wel
-                theta["_BinvSN"] = bell_mod.supernode_jacobi_inverse(
+                Binv = bell_mod.supernode_jacobi_inverse(
                     bplan,
                     bell_mod.extract_self_blocks_vector(bplan, Wel),
                     mask=mask_u,
                 )
+                if use_T:
+                    # block-lanes kernel layout (ops/bell_pallas.py):
+                    # transpose once per simulate; the canonical Wel is
+                    # then unused at runtime and dropped from the carry
+                    theta.update(bell_mod.transpose_tables_T(
+                        bplan, W=Wel, Binv=Binv,
+                    ))
+                else:
+                    theta["_BellWel"] = Wel
+                    theta["_BinvSN"] = Binv
                 if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
                     Wrd = bell_mod.build_bell_rd_const(
                         bplan, arrays, theta["D"], theta["rho"],
@@ -747,11 +836,17 @@ class Simulation(ABC):
                     # the per-Newton logistic correction is a small SPD
                     # perturbation, so the frozen blocks stay an effective
                     # (and SPD) preconditioner across the whole solve
-                    theta["_McSN"] = bell_mod.supernode_jacobi_inverse(
+                    Minv = bell_mod.supernode_jacobi_inverse(
                         bplan,
                         bell_mod.extract_self_blocks_scalar(bplan, Wrd),
                         mask=mask_c,
                     )
+                    if use_T:
+                        theta.update(bell_mod.transpose_tables_T(
+                            bplan, Wrd=Wrd, Minv=Minv,
+                        ))
+                    else:
+                        theta["_McSN"] = Minv
             elif self._ell_builders()[1] is not None:
                 from glimslib_tpu.ops import ell as ell_mod
 
@@ -927,6 +1022,11 @@ class Simulation(ABC):
             )
 
             def _base_el(theta):
+                if use_bell and isinstance(theta, dict) and "_BinvSNT" in theta:
+                    BinvT = theta["_BinvSNT"]
+                    return lambda r: bell_mod.apply_supernode_jacobi_T(
+                        bplan, BinvT, r
+                    )
                 if use_bell and isinstance(theta, dict) and "_BinvSN" in theta:
                     Binv = theta["_BinvSN"]
                     return lambda r: bell_mod.apply_supernode_jacobi(
@@ -957,11 +1057,34 @@ class Simulation(ABC):
             if use_bell and getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
 
                 def rd_precond(theta):
-                    if isinstance(theta, dict) and "_McSN" in theta:
-                        Minv = theta["_McSN"]
-                        return lambda r: bell_mod.apply_supernode_jacobi(
-                            bplan, Minv, r
-                        )
+                    if isinstance(theta, dict) and (
+                        "_McSN" in theta or "_McSNT" in theta
+                    ):
+                        if "_McSNT" in theta:
+                            MinvT = theta["_McSNT"]
+                            base = lambda r: (
+                                bell_mod.apply_supernode_jacobi_T(
+                                    bplan, MinvT, r
+                                )
+                            )
+                        else:
+                            Minv = theta["_McSN"]
+                            base = lambda r: bell_mod.apply_supernode_jacobi(
+                                bplan, Minv, r
+                            )
+                        if (
+                            agg_plan is not None
+                            and "_TLCfacS" in theta
+                        ):
+                            from glimslib_tpu.solvers.twolevel import (
+                                make_twolevel_precond_scalar,
+                            )
+
+                            return make_twolevel_precond_scalar(
+                                agg_plan, theta["_TLCfacS"],
+                                theta["_TLMtS"], base,
+                            )
+                        return base
                     diag = self.rd_diag(theta)
                     return lambda r: r / diag
 
@@ -983,6 +1106,7 @@ class Simulation(ABC):
             el_residual_hi=hi[1] if hi else None,
             rd_cg=rd_cg,
             el_cg=el_cg,
+            rd_jacobian_chord=self._rd_jacobian_chord,
         )
 
     def build_simulate_fn(self, n_steps: int, dt: float):

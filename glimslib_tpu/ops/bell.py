@@ -60,7 +60,15 @@ class BellPlan:
         self.n = n
         self.npe = npe
         self.s = s = int(s)
-        nb = (n + s - 1) // s
+        nb_real = (n + s - 1) // s
+        # round the block count up for the Pallas batched matvecs
+        # (ops/bell_pallas.py): to a lane-tile multiple (128) when that
+        # wastes <= 6.25% — the block axis then rides the LANES of the
+        # streamed (M, K, nb) tables — else to a sublane multiple (8).
+        # Padded blocks carry sentinel halos and zero operator rows, and
+        # every apply slices [:n].
+        nb128 = -(-nb_real // 128) * 128
+        nb = nb128 if nb128 <= 1.0625 * nb_real else -(-nb_real // 8) * 8
         self.nb = nb
         self.n_pad = nb * s
 
@@ -232,26 +240,145 @@ def build_bell_rd_wc(plan: BellPlan, mesh_arrays, cells_T, c, rho, dt, t0,
     return plan.assemble(ent, tables)
 
 
+def build_bell_rd_wc_lumped(plan: BellPlan, mesh_arrays, cells_T, c, rho,
+                            dt, t0, conc_max, dtype, tables=None):
+    """(n,) LUMPED logistic Jacobian correction: the row sums of
+    :func:`build_bell_rd_wc` (Σ_j ∫ c φi φj = ∫ c φi since Σ_j φj = 1).
+
+    Used by the chord (modified-Newton) operator only — the frozen
+    Jacobian is already inexact, and replacing its consistent-mass
+    logistic term by the lumped diagonal skips the ~56 ms supernode
+    halo-ELL assembly per step at 197k tets.  Newton still measures the
+    exact residual, so converged states (and the IFT adjoint, which keeps
+    the exact Jacobian) are unchanged.
+
+    Row-sum identity per cell: Σ_j (S + cᵢ + cⱼ + δᵢⱼ(S + 2cᵢ))
+    = (npe+2)(S + cᵢ), so the per-(node, cell) contribution is
+    vol·t0·(npe+2)·(S + cᵢ), accumulated through the per-node diag plan.
+    """
+    g, vol = mesh_arrays
+    npe = g.shape[0]
+    rho = jnp.asarray(rho, dtype)
+    ce = jnp.take(jnp.stack([c, c], axis=-1), cells_T.ravel(), axis=0)[
+        :, 0
+    ].reshape(npe, -1)  # row-packed gather, (npe, nc)
+    S = jnp.sum(ce, axis=0)
+    contrib = (2.0 * dt / conc_max) * rho * (vol * t0) * (npe + 2.0) * (
+        S + ce
+    )  # (npe, nc)
+    diag_pull = (
+        tables["_BellDiagPull"] if tables is not None
+        else jnp.asarray(plan.diag_plan.pull_table)
+    )
+    return pull_accumulate(diag_pull.ravel(), plan.n, contrib.ravel())
+
+
 def apply_bell_vector(plan: BellPlan, halo_ids, W, x):
     """y[i, a] = halo-gather + dense local contraction; W (nb, s, d, Kh, d),
-    x (n, d)."""
+    x (n, d).  The contraction runs as a streamed Pallas batched matvec on
+    TPU f32 (ops/bell_pallas.py — XLA leaves the (nb, s*d, Kh*d) product
+    unfused through HBM, ~1.7x the roofline)."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec
+
     n, d = x.shape
     nb, s, Kh = plan.nb, plan.s, plan.Kh
     xp = jnp.pad(x, ((0, 1), (0, 0)))
-    xh = jnp.take(xp, halo_ids.ravel(), axis=0).reshape(nb, 1, 1, Kh * d)
-    y = jnp.sum(W.reshape(nb, s, d, Kh * d) * xh, axis=3)  # (nb, s, d)
+    xh = jnp.take(xp, halo_ids.ravel(), axis=0).reshape(nb, Kh * d)
+    y = batched_matvec(W.reshape(nb, s * d, Kh * d), xh)  # (nb, s*d)
     return y.reshape(nb * s, d)[:n]
 
 
 def apply_bell_scalar(plan: BellPlan, halo_ids, W, x):
     """Scalar halo-ELL matvec; W (nb, s, Kh), x (n,).  Width-2 duplicated
     rows keep the halo gather on the fast row path."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec
+
     n = x.shape[0]
     nb, s, Kh = plan.nb, plan.s, plan.Kh
     xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
-    xh = jnp.take(xp, halo_ids.ravel(), axis=0)[:, 0].reshape(nb, 1, Kh)
-    y = jnp.sum(W * xh, axis=2)  # (nb, s)
+    xh = jnp.take(xp, halo_ids.ravel(), axis=0)[:, 0].reshape(nb, Kh)
+    y = batched_matvec(W, xh)  # (nb, s)
     return y.reshape(nb * s)[:n]
+
+
+# -- block-axis-on-lanes applies (Pallas fast path, ops/bell_pallas.py) ------
+#
+# Tables pre-transposed ONCE per simulate to (M, K, nb) with the block
+# axis on lanes (models/base.py _augment_theta_with_operators); the
+# gathered halo vector is transposed per matvec (2 MB, ~0.05 ms) — the
+# contraction then runs as a pure multiply-accumulate at streaming
+# bandwidth instead of the ~0.65 ms cross-lane-reduce floor.
+
+
+def bell_T_available(plan: BellPlan, d: int):
+    """True when the block-lanes kernels can run for this plan (TPU f32
+    path; callers must also check dtype)."""
+    from glimslib_tpu.ops import bell_pallas as bp
+
+    s, Kh, nb = plan.s, plan.Kh, plan.nb
+    return (
+        (bp.pallas_enabled() or bp._interpret())
+        and bp.bmv_T_available(nb, s * d, Kh * d)
+        and bp.bmv_T_available(nb, s, Kh)
+        and bp.bmv_T_available(nb, s * d, s * d)
+    )
+
+
+def transpose_tables_T(plan: BellPlan, W=None, Wrd=None, Binv=None,
+                       Minv=None):
+    """One-time (per simulate) transposes to the (M, K, nb) kernel layout.
+
+    W (nb, s, d, Kh, d) -> (s*d, Kh*d, nb); Wrd (nb, s, Kh) -> (s, Kh, nb);
+    Binv/Minv (nb, m, m) -> (m, m, nb) (self-blocks are symmetric, so the
+    two m axes are interchangeable)."""
+    out = {}
+    if W is not None:
+        nb, s, d, Kh, _ = W.shape
+        out["_BellWelT"] = jnp.transpose(
+            W.reshape(nb, s * d, Kh * d), (1, 2, 0)
+        )
+    if Wrd is not None:
+        out["_BellWrdCT"] = jnp.transpose(Wrd, (1, 2, 0))
+    if Binv is not None:
+        out["_BinvSNT"] = jnp.transpose(Binv, (1, 2, 0))
+    if Minv is not None:
+        out["_McSNT"] = jnp.transpose(Minv, (1, 2, 0))
+    return out
+
+
+def apply_bell_vector_T(plan: BellPlan, halo_ids, WT, x):
+    """Block-lanes halo-ELL matvec; WT (s*d, Kh*d, nb), x (n, d)."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec_T
+
+    n, d = x.shape
+    nb, s, Kh = plan.nb, plan.s, plan.Kh
+    xp = jnp.pad(x, ((0, 1), (0, 0)))
+    xh = jnp.take(xp, halo_ids.ravel(), axis=0).reshape(nb, Kh * d)
+    y = batched_matvec_T(WT, xh.T)  # (s*d, nb)
+    return y.T.reshape(nb * s, d)[:n]
+
+
+def apply_bell_scalar_T(plan: BellPlan, halo_ids, WT, x):
+    """Block-lanes scalar halo-ELL matvec; WT (s, Kh, nb), x (n,)."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec_T
+
+    n = x.shape[0]
+    nb, s, Kh = plan.nb, plan.s, plan.Kh
+    xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
+    xh = jnp.take(xp, halo_ids.ravel(), axis=0)[:, 0].reshape(nb, Kh)
+    y = batched_matvec_T(WT, xh.T)  # (s, nb)
+    return y.T.reshape(nb * s)[:n]
+
+
+def apply_supernode_jacobi_T(plan: BellPlan, BinvT, r):
+    """Block-lanes supernode dense solve; BinvT (m, m, nb), r (n, d)/(n,)."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec_T
+
+    m, _, nb = BinvT.shape
+    shape = r.shape
+    rp = jnp.pad(r.reshape(-1), (0, nb * m - r.reshape(-1).shape[0]))
+    z = batched_matvec_T(BinvT, rp.reshape(nb, m).T)  # (m, nb)
+    return z.T.reshape(-1)[: r.reshape(-1).shape[0]].reshape(shape)
 
 
 # -- supernode block-Jacobi --------------------------------------------------
@@ -311,9 +438,12 @@ def supernode_jacobi_inverse(plan: BellPlan, B, mask=None):
 
 
 def apply_supernode_jacobi(plan: BellPlan, Binv, r):
-    """r (n, d) or (n,) -> per-supernode dense solve via mul+reduce."""
+    """r (n, d) or (n,) -> per-supernode dense solve (streamed Pallas
+    batched matvec on TPU f32, XLA mul+reduce fallback)."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec
+
     nb, m = Binv.shape[0], Binv.shape[1]
     shape = r.shape
     rp = jnp.pad(r.reshape(-1), (0, nb * m - r.reshape(-1).shape[0]))
-    z = jnp.sum(Binv * rp.reshape(nb, 1, m), axis=2)  # (nb, m)
+    z = batched_matvec(Binv, rp.reshape(nb, m))  # (nb, m)
     return z.reshape(-1)[: r.reshape(-1).shape[0]].reshape(shape)

@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: batched dense matvec for the supernode halo-ELL ops.
+
+The unstructured per-CG-iteration hot ops are all batched dense
+contractions against streamed operator tables:
+
+  - halo-ELL matvec:        y[b] = W[b] @ xh[b]   (W (nb, s*d, Kh*d))
+  - supernode block-Jacobi: z[b] = Binv[b] @ r[b] (Binv (nb, s*d, s*d))
+  - scalar halo-ELL matvec: y[b] = W[b] @ xh[b]   (W (nb, s, Kh))
+
+Measured on the v5e at 197k tets, the XLA broadcast-multiply-reduce
+formulation round-trips the (nb, M, K) product through HBM instead of
+fusing it into the reduction: the 204 MB elasticity matvec costs 1.19 ms
+against a ~0.7 ms roofline (table stream + halo row-gather), and the
+41 MB supernode Jacobi costs 0.65 ms against ~0.1 ms.  This kernel
+streams the table through VMEM grid blocks (Mosaic auto-double-buffers
+grid-indexed inputs) and keeps the product in registers, so the only HBM
+traffic is one pass over the table.
+
+The halo GATHER stays outside in XLA (Mosaic ``dynamic_gather`` is
+single-vreg only — see CLAUDE.md): callers gather xh (nb, K) first, then
+call :func:`batched_matvec`.
+
+Gated like the stencil kernels: TPU backend + f32 + GLIMS_PALLAS != 0;
+the XLA mul+reduce path remains the fallback and reference
+implementation (interpret-mode equivalence in tests/test_bell.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from glimslib_tpu.ops.stencil_pallas import _interpret, pallas_enabled
+
+# VMEM working-set budget: block double-buffering must fit alongside
+# compiler scratch (v5e ~16 MB/core)
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_batch_group(B: int, M: int, K: int) -> int:
+    """Block-axis group size: Mosaic requires the second-to-last block dim
+    divisible by 8 (BellPlan pads nb to a multiple of 8), so g ∈ {16, 8};
+    0 means the kernel cannot run (caller falls back to XLA)."""
+    Kp = -(-K // 128) * 128
+    Mp = -(-M // 8) * 8
+    per = (Mp * Kp + Kp + Mp) * 4 * 2
+    for g in (16, 8):
+        if B % g == 0 and g * per <= _VMEM_BUDGET:
+            return g
+    return 0
+
+
+@functools.lru_cache(maxsize=None)
+def _bmv_call(B: int, M: int, K: int, g: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(a_ref, x_ref, o_ref):
+        x = x_ref[...]
+        o_ref[...] = jnp.sum(a_ref[...] * x[:, None, :], axis=2)
+
+    return pl.pallas_call(
+        kern,
+        grid=(B // g,),
+        out_shape=jax.ShapeDtypeStruct((B, M), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((g, M, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, M), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+
+def batched_matvec(A, x):
+    """y[b] = A[b] @ x[b] with A (B, M, K) f32 streamed once through VMEM,
+    x (B, K) f32.  Falls back to the XLA mul+reduce when the kernel is
+    gated off or a block does not fit VMEM."""
+    B, M, K = A.shape
+    g = _pick_batch_group(B, M, K)
+    use = (
+        (pallas_enabled() or _interpret())
+        and A.dtype == jnp.float32
+        and x.dtype == jnp.float32
+        and g > 0
+    )
+    if not use:
+        return jnp.sum(A * x[:, None, :], axis=2)
+    return _bmv_call(B, M, K, g, _interpret())(A, x)
+
+
+# -- block-axis-on-lanes variant (the fast path) -----------------------------
+#
+# Measured at flagship shapes, every per-block-reduce formulation (XLA
+# mul+reduce, the kernel above, in-kernel MXU dots, transposed sublane
+# reduces) sits at a ~0.65 ms floor even for 22-41 MB tables — cross-lane
+# reduction and (M, K)-minor layouts dominate.  Storing the table as
+# (M, K, B) with the BLOCK axis on lanes makes the contraction a pure
+# broadcast-multiply-accumulate over time (the K loop), with every lane
+# busy and zero cross-lane traffic: per grid step, acc[m, b] += sum_k
+# A[m, k, b] * x[k, b].  Callers pre-transpose tables ONCE per simulate
+# (models/base.py _augment_theta_with_operators) and pass x already
+# transposed to (K, B).
+
+_NBT = 128  # lane-tile chunk of the block axis
+
+
+def _nbt_for(B: int) -> int:
+    """Lane chunk of the block axis: full lane tiles (128) when B divides,
+    else the whole axis (allowed when the block dim equals the array dim —
+    small CPU-test plans); 0 if neither works."""
+    if B % _NBT == 0:
+        return _NBT
+    return B if B % 8 == 0 else 0
+
+
+def _mt_for(M: int, K: int, nbt: int) -> int:
+    """Largest M-tile (multiple of 8, dividing M) whose double-buffered
+    working set fits — fewer, larger grid steps amortize the per-step cost
+    (measured ~5 us/step: a 108-step 41 MB apply cost 0.65 ms against a
+    ~0.1 ms stream floor)."""
+    for mt in range(M - M % 8, 0, -8):
+        if M % mt:
+            continue
+        per = (mt * K * nbt + K * nbt + mt * nbt) * 4 * 2
+        if per <= _VMEM_BUDGET:
+            return mt
+    return 0
+
+
+def bmv_T_available(B: int, M: int, K: int) -> bool:
+    nbt = _nbt_for(B)
+    if nbt == 0 or M % 8 != 0:
+        return False
+    return _mt_for(M, K, nbt) > 0
+
+
+@functools.lru_cache(maxsize=None)
+def _bmv_T_call(B: int, M: int, K: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbt = _nbt_for(B)
+    mt = _mt_for(M, K, nbt)
+
+    def kern(a_ref, x_ref, o_ref):
+        x = x_ref[...]  # (K, nbt)
+        o_ref[...] = jnp.sum(a_ref[...] * x[None, :, :], axis=1)
+
+    # block-chunk axis OUTER so the x block (index depends only on i) is
+    # fetched once per chunk (Mosaic skips re-DMA of unchanged blocks)
+    return pl.pallas_call(
+        kern,
+        grid=(B // nbt, M // mt),
+        out_shape=jax.ShapeDtypeStruct((M, B), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((mt, K, nbt), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, nbt), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mt, nbt), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+
+def batched_matvec_T(AT, xT):
+    """y[m, b] = sum_k AT[m, k, b] * xT[k, b]; AT (M, K, B) f32 streamed
+    once, xT (K, B) f32 VMEM-chunk-resident.  Returns (M, B).
+
+    Callers must check :func:`bmv_T_available` (BellPlan pads the block
+    count to a lane-tile multiple at flagship sizes)."""
+    M, K, B = AT.shape
+    return _bmv_T_call(B, M, K, _interpret())(AT, xT)

@@ -66,6 +66,15 @@ class StepConfig(NamedTuple):
     # ~1e-7 accuracy at a few emulated-f64 residual evals per step.
     # Requires jax_enable_x64; no effect when the working dtype is f64.
     refine_f64: bool = False
+    # Inexact-Newton forcing for the concentration block's INNER CG
+    # solves: 0.0 (default) uses cg_rtol; a larger value (e.g. 1e-3)
+    # loosens only the c-block linear solves.  Sound because Newton
+    # measures (and converges on) the exact nonlinear residual to
+    # newton_rtol/atol regardless of inner-solve accuracy — a loose step
+    # only changes the contraction rate (Dembo-Eisenstat-Steihaug), never
+    # the converged state.  The elasticity block keeps cg_rtol: that
+    # solve is LINEAR, so its tolerance directly bounds solution error.
+    rd_cg_rtol: float = 0.0
     # Modified Newton (chord method) for the concentration block on
     # ASSEMBLED-operator paths: freeze the rd Jacobian at the step's
     # start instead of re-assembling it every Newton iteration.  Newton
@@ -118,6 +127,7 @@ def make_step(
     el_residual_hi: Callable = None,
     rd_cg: Callable = None,  # (theta, c, rhs) -> (dc, info): fused in-kernel
     el_cg: Callable = None,  # (theta, rhs) -> (du, info): PCG solves
+    rd_jacobian_chord: Callable = None,  # cheaper frozen-Jacobian source
 ):
     """Build the differentiable coupled step:
 
@@ -219,8 +229,14 @@ def make_step(
             and rd_jacobian is not None
             and rd_cg is None
         )
+        # the frozen operator may come from a cheaper approximate source
+        # (e.g. the lumped-logistic chord operator, ops/bell.py
+        # build_bell_rd_wc_lumped) — Newton's convergence test stays on the
+        # exact residual and the IFT adjoint (step_bwd) keeps the exact
+        # rd_jacobian, so converged states and gradients are unchanged
+        chord_src = rd_jacobian_chord or rd_jacobian
         A_frozen = (
-            _op_masked(rd_jacobian(theta, c0), mask_c) if freeze_jac else None
+            _op_masked(chord_src(theta, c0), mask_c) if freeze_jac else None
         )
 
         def cond(state):
@@ -249,7 +265,8 @@ def make_step(
             if rd_cg is not None:
                 dc, _ = rd_cg(theta, c, rhs)
             else:
-                dc, _ = pcg(A, rhs, M=Mc_solve, rtol=cfg.cg_rtol,
+                dc, _ = pcg(A, rhs, M=Mc_solve,
+                            rtol=cfg.rd_cg_rtol or cfg.cg_rtol,
                             atol=cfg.cg_atol, maxiter=cfg.cg_maxiter)
             c_new = c + dc
             r_new = resid_c_eval(c_new)

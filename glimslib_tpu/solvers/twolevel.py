@@ -49,6 +49,10 @@ def n_affine_modes(d: int) -> int:
     return d + d * d  # translations + full displacement gradient
 
 
+def n_scalar_modes(d: int) -> int:
+    return 1 + d  # constant + linear (the P1 coarse space per aggregate)
+
+
 class AggPlan:
     """Host-precomputed contiguous-aggregate affine coarse space.
 
@@ -111,6 +115,71 @@ class AggPlan:
         wq = jnp.repeat(w.reshape(nagg, q), m, axis=0)  # (n_pad, q)
         return jnp.sum(Mt * wq[:, None, :], axis=2)[: self.n]
 
+    # -- node-axis-LAST transfers (TPU fast path) ----------------------------
+    # The canonical (n_pad, d, q) mode matrix pads its q=12-wide minor dim
+    # to 128 lanes (a 10x tile blow-up: ~55 MB touched per transfer at 36k
+    # nodes); the (d, q, n_pad) layout is fully packed (~5 MB), same math.
+
+    def restrict_T(self, MtT, r):
+        """P~^T r with MtT (d, q, n_pad); r (n, d) -> (nagg*q,)."""
+        m, nagg, q = self.m, self.nagg, self.q
+        rT = jnp.pad(r.T, ((0, 0), (0, self.n_pad - self.n)))  # (d, n_pad)
+        per = jnp.sum(MtT * rT[:, None, :], axis=0)  # (q, n_pad)
+        w = jnp.sum(per.reshape(q, nagg, m), axis=2)  # (q, nagg)
+        return w.T.reshape(-1)
+
+    def prolong_T(self, MtT, w):
+        """P~ w with MtT (d, q, n_pad); (nagg*q,) -> (n, d)."""
+        m, nagg, q = self.m, self.nagg, self.q
+        wq = jnp.repeat(w.reshape(nagg, q).T, m, axis=1)  # (q, n_pad)
+        out = jnp.sum(MtT * wq[None, :, :], axis=1)  # (d, n_pad)
+        return out[:, : self.n].T
+
+    # -- scalar-field coarse space (rd concentration block) ------------------
+
+    def mode_matrix_scalar(self, f):
+        """Masked per-node scalar mode matrix M~s (n_pad, qs): affine modes
+        c(x) = a + b·r with rows scaled by f = 1-mask (f: (n,))."""
+        qs = n_scalar_modes(self.d)
+        n, n_pad = self.n, self.n_pad
+        M = np.zeros((n_pad, qs), dtype=np.float64)
+        M[:, 0] = 1.0
+        M[:, 1:] = self.offsets
+        M[n:] = 0.0
+        Mj = jnp.asarray(M)
+        fp = jnp.pad(jnp.asarray(f, Mj.dtype), (0, n_pad - n))
+        return Mj * fp[:, None]
+
+    def restrict_scalar(self, Ms, r):
+        """Ps~^T r: fine (n,) -> coarse (nagg*qs,)."""
+        m, nagg = self.m, self.nagg
+        qs = Ms.shape[1]
+        rp = jnp.pad(r, (0, self.n_pad - self.n))
+        per = Ms * rp[:, None]  # (n_pad, qs)
+        return jnp.sum(per.reshape(nagg, m, qs), axis=1).reshape(-1)
+
+    def prolong_scalar(self, Ms, w):
+        """Ps~ w: coarse (nagg*qs,) -> fine (n,)."""
+        m, nagg = self.m, self.nagg
+        qs = Ms.shape[1]
+        wq = jnp.repeat(w.reshape(nagg, qs), m, axis=0)  # (n_pad, qs)
+        return jnp.sum(Ms * wq, axis=1)[: self.n]
+
+    def restrict_scalar_T(self, MsT, r):
+        """Ps~^T r with MsT (qs, n_pad); r (n,) -> (nagg*qs,)."""
+        m, nagg = self.m, self.nagg
+        qs = MsT.shape[0]
+        rp = jnp.pad(r, (0, self.n_pad - self.n))
+        per = MsT * rp[None, :]  # (qs, n_pad)
+        return jnp.sum(per.reshape(qs, nagg, m), axis=2).T.reshape(-1)
+
+    def prolong_scalar_T(self, MsT, w):
+        """Ps~ w with MsT (qs, n_pad); (nagg*qs,) -> (n,)."""
+        m, nagg = self.m, self.nagg
+        qs = MsT.shape[0]
+        wq = jnp.repeat(w.reshape(nagg, qs).T, m, axis=1)  # (qs, n_pad)
+        return jnp.sum(MsT * wq, axis=0)[: self.n]
+
 
 def build_coarse(plan: AggPlan, adj, B, mask_u, reg: float = 1e-8):
     """Dense Galerkin coarse matrix A_c = P~^T A P~ from block-ELL values.
@@ -160,6 +229,49 @@ def build_coarse(plan: AggPlan, adj, B, mask_u, reg: float = 1e-8):
     return Ac
 
 
+def build_coarse_scalar(plan: AggPlan, adj, W, mask_c, reg: float = 1e-8):
+    """Dense Galerkin coarse matrix of the SCALAR rd Jacobian from node-ELL
+    values: A_c = Ps~^T A Ps~ with per-aggregate affine modes.
+
+    ``adj`` (n, K) int32 with sentinel n; ``W`` (n, K); ``mask_c`` (n,)
+    bool.  One-time scatter-add — call eagerly at setup (preconditioner
+    only; frozen at setup-time theta like the elasticity coarse)."""
+    n, nagg = plan.n, plan.nagg
+    qs = n_scalar_modes(plan.d)
+    K = adj.shape[1]
+    W = jax.lax.stop_gradient(jnp.asarray(W))
+    dtype = W.dtype
+    f = 1.0 - jax.lax.stop_gradient(jnp.asarray(mask_c)).astype(dtype)
+    Ms = plan.mode_matrix_scalar(np.asarray(f)).astype(dtype)  # (n_pad, qs)
+    Mi = Ms[:n]
+    Mpad = jnp.concatenate([Mi, jnp.zeros((1, qs), dtype)], axis=0)
+    Mj = jnp.take(Mpad, jnp.minimum(adj.ravel(), n), axis=0).reshape(
+        n, K, qs
+    )
+    # ent[i,k,p,q'] = Mi[i,p] W[i,k] Mj[i,k,q']  (mul+reduce, no einsum)
+    ent = (
+        Mi[:, None, :, None] * W[:, :, None, None] * Mj[:, :, None, :]
+    )  # (n, K, p, q')
+
+    gi = jnp.asarray(plan.agg_of[:n], jnp.int32)
+    gj = jnp.take(jnp.asarray(plan.agg_of), adj.ravel()).reshape(n, K)
+    gj = jnp.minimum(gj, nagg - 1)  # sentinel cols carry zero ent
+    dim_c = nagg * qs
+    p_idx = jnp.arange(qs, dtype=jnp.int32)
+    rowc = gi[:, None, None, None] * qs + p_idx[None, None, :, None]
+    colc = gj[:, :, None, None] * qs + p_idx[None, None, None, :]
+    flat = (rowc * dim_c + colc).reshape(-1)
+    Ac = jnp.zeros((dim_c * dim_c,), dtype).at[flat].add(ent.reshape(-1))
+    Ac = Ac.reshape(dim_c, dim_c)
+
+    dg = jnp.diagonal(Ac)
+    eps = reg * jnp.max(dg) + jnp.asarray(1e-30, dtype)
+    Ac = Ac + (eps + jnp.where(dg <= 0, 1.0, 0.0)) * jnp.eye(
+        dim_c, dtype=dtype
+    )
+    return Ac
+
+
 def coarse_inverse(Ac, droptol: float = 1e-7):
     """Gram FACTOR of the coarse inverse: B with B Bᵀ ≈ Ac⁻¹, computed
     EAGERLY on the host in f64 (eager-only by contract — build_coarse
@@ -186,20 +298,75 @@ def make_twolevel_precond(plan: AggPlan, B, Mt, base_apply):
     term is a Gram form, PSD in any float precision, see
     :func:`coarse_inverse`).
 
-    ``Mt`` is the masked mode matrix from :meth:`AggPlan.mode_matrix`,
-    precomputed EAGERLY at setup — this function may be called at trace
-    time (the coupled step is closure-converted under custom_vjp, which
-    lifts captured arrays to tracers), so no host conversions here."""
+    ``Mt`` is the masked mode matrix from :meth:`AggPlan.mode_matrix` —
+    either canonical (n_pad, d, q) or node-axis-last (d, q, n_pad) (the
+    TPU layout, see :meth:`AggPlan.restrict_T`); the layout is detected
+    from the shape.  Precomputed EAGERLY at setup — this function may be
+    called at trace time (the coupled step is closure-converted under
+    custom_vjp, which lifts captured arrays to tracers), so no host
+    conversions here."""
     dtype = B.dtype
+    node_last = Mt.shape[-1] == plan.n_pad and Mt.shape[0] == plan.d
+    restrict = plan.restrict_T if node_last else plan.restrict
+    prolong = plan.prolong_T if node_last else plan.prolong
+
+    if dtype == jnp.bfloat16:
+        # HBM-saving storage (models/base.py runtime_aux casts the factor
+        # on TPU f32 runs): the dense factor is the preconditioner's
+        # dominant traffic — 182 MB f32 at 36k nodes, streamed twice per
+        # CG iteration.  The Gram form stays PSD under rounding
+        # (rᵀ B(Bᵀr) = zᵀz̃ with z̃ a 0.4%-rounded z), and a preconditioner
+        # perturbation of that size costs ~no iterations.  Accumulation
+        # is f32 on the MXU (preferred_element_type).
+        def M(r):
+            rc = restrict(Mt, r).astype(dtype)
+            z = jnp.dot(B.T, rc, preferred_element_type=jnp.float32)
+            w = jnp.dot(B, z.astype(dtype),
+                        preferred_element_type=jnp.float32)
+            coarse = prolong(Mt.astype(jnp.float32), w)
+            return base_apply(r) + coarse.astype(r.dtype)
+
+        return M
 
     def M(r):
-        rc = plan.restrict(Mt, r.astype(dtype))
+        rc = restrict(Mt, r.astype(dtype))
         # two dense matvecs (~45 MFLOP each) — full f32 accumulation, the
         # default bf16 MXU rounding costs iterations on the amplified
         # near-null directions
         z = jnp.dot(B.T, rc, precision=jax.lax.Precision.HIGHEST)
         w = jnp.dot(B, z, precision=jax.lax.Precision.HIGHEST)
-        coarse = plan.prolong(Mt, w)
+        coarse = prolong(Mt, w)
+        return base_apply(r) + coarse.astype(r.dtype)
+
+    return M
+
+
+def make_twolevel_precond_scalar(plan: AggPlan, B, Ms, base_apply):
+    """Scalar-field analogue of :func:`make_twolevel_precond` for the rd
+    concentration block: M(r) = base_apply(r) + Ps~ B Bᵀ Ps~^T r.
+
+    ``Ms`` is (n_pad, qs) canonical or (qs, n_pad) node-axis-last."""
+    dtype = B.dtype
+    node_last = Ms.shape[-1] == plan.n_pad and Ms.shape[0] != plan.n_pad
+    restrict = plan.restrict_scalar_T if node_last else plan.restrict_scalar
+    prolong = plan.prolong_scalar_T if node_last else plan.prolong_scalar
+
+    if dtype == jnp.bfloat16:
+        def M(r):
+            rc = restrict(Ms, r).astype(dtype)
+            z = jnp.dot(B.T, rc, preferred_element_type=jnp.float32)
+            w = jnp.dot(B, z.astype(dtype),
+                        preferred_element_type=jnp.float32)
+            coarse = prolong(Ms.astype(jnp.float32), w)
+            return base_apply(r) + coarse.astype(r.dtype)
+
+        return M
+
+    def M(r):
+        rc = restrict(Ms, r.astype(dtype))
+        z = jnp.dot(B.T, rc, precision=jax.lax.Precision.HIGHEST)
+        w = jnp.dot(B, z, precision=jax.lax.Precision.HIGHEST)
+        coarse = prolong(Ms, w)
         return base_apply(r) + coarse.astype(r.dtype)
 
     return M

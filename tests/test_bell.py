@@ -71,6 +71,84 @@ def test_bell_rd_jacobian_matches_jvp(mesh, s):
     assert np.allclose(got, want, atol=1e-11), np.abs(got - want).max()
 
 
+def test_bell_rd_wc_lumped_is_row_sums():
+    """The lumped logistic correction equals the row sums of the assembled
+    wc matrix: W(c) @ 1 == lumped (Σ_j φj = 1 on each P1 element)."""
+    mesh = _morton(box_mesh((0, 0, 0), (1, 1, 2), 3, 3, 4))
+    k = P1Kernels(mesh)
+    plan = bell.BellPlan(mesh, s=16)
+    rng = np.random.default_rng(3)
+    mids = mesh.cell_midpoints
+    rho = jnp.asarray(0.2 + 0.1 * mids[:, 1])
+    dt, cmax = 0.7, 1.0
+    c = jnp.asarray(rng.random(mesh.n_nodes))
+
+    W = bell.build_bell_rd_wc(plan, (k.grads_T, k.vol), k.cells_flat, c,
+                              rho, dt, k._t0, cmax, k.dtype)
+    ones = jnp.ones(mesh.n_nodes)
+    want = np.asarray(
+        bell.apply_bell_scalar(plan, jnp.asarray(plan.halo_ids), W, ones)
+    )
+    got = np.asarray(
+        bell.build_bell_rd_wc_lumped(plan, (k.grads_T, k.vol), k.cells_flat,
+                                     c, rho, dt, k._t0, cmax, k.dtype)
+    )
+    assert np.allclose(got, want, atol=1e-12), np.abs(got - want).max()
+
+
+def test_batched_matvec_kernel_interpret():
+    """ops/bell_pallas.py batched matvec (interpret mode) == XLA
+    mul+reduce, at the flagship shapes' awkward (non-128) K."""
+    from glimslib_tpu.ops import bell_pallas
+
+    rng = np.random.default_rng(7)
+    for B, M, K in ((16, 96, 474), (8, 32, 158), (24, 48, 48)):
+        A = jnp.asarray(rng.standard_normal((B, M, K)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+        want = np.asarray(jnp.sum(A * x[:, None, :], axis=2))
+        g = bell_pallas._pick_batch_group(B, M, K)
+        assert g in (8, 16), g
+        got = np.asarray(bell_pallas._bmv_call(B, M, K, g, True)(A, x))
+        assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+    # non-8-divisible block counts fall back to the XLA path
+    assert bell_pallas._pick_batch_group(6, 96, 474) == 0
+
+
+def test_bell_T_applies_match_canonical(monkeypatch):
+    """Block-lanes (interpret-mode) applies == canonical applies on f32."""
+    monkeypatch.setenv("GLIMS_PALLAS_INTERPRET", "1")
+    mesh = _morton(box_mesh((0, 0, 0), (1, 1, 2), 3, 3, 4))
+    k = P1Kernels(mesh, dtype=jnp.float32)
+    plan = bell.BellPlan(mesh, s=8)
+    assert plan.nb % 8 == 0
+    rng = np.random.default_rng(5)
+    W = bell.build_bell_elasticity(plan, (k.grads_T, k.vol), 1.0, 9.0,
+                                   jnp.float32)
+    Wrd = bell.build_bell_rd_const(plan, (k.grads_T, k.vol), 0.1, 0.2, 0.7,
+                                   k._m0, jnp.float32)
+    halo = jnp.asarray(plan.halo_ids)
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, mesh.dim)),
+                    jnp.float32)
+    v = jnp.asarray(rng.standard_normal(mesh.n_nodes), jnp.float32)
+    Binv = bell.supernode_jacobi_inverse(
+        plan, bell.extract_self_blocks_vector(plan, W))
+    T = bell.transpose_tables_T(plan, W=W, Wrd=Wrd, Binv=Binv)
+
+    want = np.asarray(bell.apply_bell_vector(plan, halo, W, u))
+    got = np.asarray(bell.apply_bell_vector_T(plan, halo, T["_BellWelT"], u))
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+    want = np.asarray(bell.apply_bell_scalar(plan, halo, Wrd, v))
+    got = np.asarray(
+        bell.apply_bell_scalar_T(plan, halo, T["_BellWrdCT"], v))
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+    want = np.asarray(bell.apply_supernode_jacobi(plan, Binv, u))
+    got = np.asarray(
+        bell.apply_supernode_jacobi_T(plan, T["_BinvSNT"], u))
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
 def test_supernode_jacobi_inverts_self_blocks():
     """apply_supernode_jacobi(Binv, r) solves the per-supernode self-block
     system: dense-reconstruct block 0 and compare; masked dofs identity."""

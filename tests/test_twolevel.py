@@ -124,6 +124,36 @@ def test_twolevel_cuts_iterations_same_solution(monkeypatch):
     rel = float(jnp.max(jnp.abs(x1 - x2)) / jnp.max(jnp.abs(x1)))
     assert rel < 1e-6
 
+    # bf16-stored coarse factor (the TPU default, models/base.py
+    # runtime_aux): the Gram form stays PSD under rounding, so PCG must
+    # still converge to the same solution at near-identical iteration
+    # counts (a ~0.4% preconditioner perturbation costs ~no iterations)
+    M3 = make_twolevel_precond(ap, Cinv.astype(jnp.bfloat16), Mt, bj)
+    Mu3 = lambda r: jnp.where(mask_u, r, M3(jnp.where(mask_u, 0.0, r)))
+    x3, info3 = pcg(Au, b, M=Mu3, rtol=1e-9, atol=0.0, maxiter=3000)
+    it3 = int(info3["iters"])
+    assert it3 < 1.25 * it2 + 5, (it2, it3)
+    rel3 = float(jnp.max(jnp.abs(x1 - x3)) / jnp.max(jnp.abs(x1)))
+    assert rel3 < 1e-6
+
+    # node-axis-last transfers (the TPU layout) are the same linear maps
+    rng = np.random.default_rng(4)
+    r = jnp.asarray(rng.standard_normal((mesh.n_nodes, mesh.dim)))
+    MtT = jnp.transpose(Mt, (1, 2, 0))
+    assert np.allclose(np.asarray(ap.restrict_T(MtT, r)),
+                       np.asarray(ap.restrict(Mt, r)), atol=1e-12)
+    w = jnp.asarray(rng.standard_normal(ap.nagg * ap.q))
+    assert np.allclose(np.asarray(ap.prolong_T(MtT, w)),
+                       np.asarray(ap.prolong(Mt, w)), atol=1e-12)
+    fm = 1.0 - np.asarray(mask_u)[:, 0].astype(np.float64)
+    Ms = ap.mode_matrix_scalar(fm)
+    rs = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    assert np.allclose(np.asarray(ap.restrict_scalar_T(Ms.T, rs)),
+                       np.asarray(ap.restrict_scalar(Ms, rs)), atol=1e-12)
+    ws = jnp.asarray(rng.standard_normal(ap.nagg * (1 + mesh.dim)))
+    assert np.allclose(np.asarray(ap.prolong_scalar_T(Ms.T, ws)),
+                       np.asarray(ap.prolong_scalar(Ms, ws)), atol=1e-12)
+
 
 def test_twolevel_sim_solution_invariant(monkeypatch):
     import sys

@@ -129,18 +129,39 @@ def profile_unstructured(n):
                 a["rho"], a["dt"], kern._t0, 1.0, sim.dtype,
                 tables=sim._bell_tables_from(a)))(aug, c0)
         jax.block_until_ready(Wrd)
-        out["el_matvec_ms"] = _time_inloop(
-            jax, jnp,
-            lambda u, halo, W: bell_mod.apply_bell_vector(bplan, halo, W, u),
-            u0 + 0.01, args=(aug["_BellHalo"], aug["_BellWel"])) * 1e3
-        out["rd_matvec_ms"] = _time_inloop(
-            jax, jnp,
-            lambda v, halo, W: bell_mod.apply_bell_scalar(bplan, halo, W, v),
-            c0 + 0.01, args=(aug["_BellHalo"], Wrd)) * 1e3
-        out["el_precond_sn_ms"] = _time_inloop(
-            jax, jnp,
-            lambda r, B: bell_mod.apply_supernode_jacobi(bplan, B, r),
-            u0 + 0.01, args=(aug["_BinvSN"],)) * 1e3
+        use_T = "_BellWelT" in aug
+        out["bell_T"] = use_T
+        if use_T:
+            out["el_matvec_ms"] = _time_inloop(
+                jax, jnp,
+                lambda u, halo, W: bell_mod.apply_bell_vector_T(
+                    bplan, halo, W, u),
+                u0 + 0.01, args=(aug["_BellHalo"], aug["_BellWelT"])) * 1e3
+            WrdT = jnp.transpose(Wrd, (1, 2, 0))
+            out["rd_matvec_ms"] = _time_inloop(
+                jax, jnp,
+                lambda v, halo, W: bell_mod.apply_bell_scalar_T(
+                    bplan, halo, W, v),
+                c0 + 0.01, args=(aug["_BellHalo"], WrdT)) * 1e3
+            out["el_precond_sn_ms"] = _time_inloop(
+                jax, jnp,
+                lambda r, B: bell_mod.apply_supernode_jacobi_T(bplan, B, r),
+                u0 + 0.01, args=(aug["_BinvSNT"],)) * 1e3
+        else:
+            out["el_matvec_ms"] = _time_inloop(
+                jax, jnp,
+                lambda u, halo, W: bell_mod.apply_bell_vector(
+                    bplan, halo, W, u),
+                u0 + 0.01, args=(aug["_BellHalo"], aug["_BellWel"])) * 1e3
+            out["rd_matvec_ms"] = _time_inloop(
+                jax, jnp,
+                lambda v, halo, W: bell_mod.apply_bell_scalar(
+                    bplan, halo, W, v),
+                c0 + 0.01, args=(aug["_BellHalo"], Wrd)) * 1e3
+            out["el_precond_sn_ms"] = _time_inloop(
+                jax, jnp,
+                lambda r, B: bell_mod.apply_supernode_jacobi(bplan, B, r),
+                u0 + 0.01, args=(aug["_BinvSN"],)) * 1e3
         el_precond_key = "el_precond_sn_ms"
     else:
         out["ell_K"] = int(sim._ell_plan.K)
@@ -161,7 +182,10 @@ def profile_unstructured(n):
         from glimslib_tpu.solvers.twolevel import make_twolevel_precond
 
         def tl_apply(r, Cfac, Mt, Binv):
-            if use_bell:
+            if use_bell and use_T:
+                base = lambda x: bell_mod.apply_supernode_jacobi_T(
+                    bplan, Binv, x)
+            elif use_bell:
                 base = lambda x: bell_mod.apply_supernode_jacobi(
                     bplan, Binv, x)
             else:
@@ -171,7 +195,8 @@ def profile_unstructured(n):
         out["el_precond_2lvl_ms"] = _time_inloop(
             jax, jnp, tl_apply, u0 + 0.01,
             args=(aug["_TLCfac"], aug["_TLMt"],
-                  aug["_BinvSN"] if use_bell else aug["_BinvG"])) * 1e3
+                  (aug["_BinvSNT"] if use_T else aug["_BinvSN"])
+                  if use_bell else aug["_BinvG"])) * 1e3
         out["twolevel"] = True
         el_precond_key = "el_precond_2lvl_ms"
     else:
@@ -209,7 +234,10 @@ def profile_unstructured(n):
     def _el_M(theta):
         """Preconditioner rebuilt from theta INSIDE the jit (theta is an
         argument, so the big arrays stay arguments)."""
-        if use_bell:
+        if use_bell and "_BinvSNT" in theta:
+            base = lambda x: bell_mod.apply_supernode_jacobi_T(
+                bplan, theta["_BinvSNT"], x)
+        elif use_bell:
             base = lambda x: bell_mod.apply_supernode_jacobi(
                 bplan, theta["_BinvSN"], x)
         else:
@@ -243,7 +271,13 @@ def profile_unstructured(n):
         gcv = gc(t)
         raw = rd_jac_b(theta, c_lin)
         Ac = lambda v: jnp.where(mask_c, v, raw(jnp.where(mask_c, 0.0, v)))
-        if use_bell and "_McSN" in theta:
+        if use_bell and "_McSNT" in theta:
+            from glimslib_tpu.ops import bell as bell_mod
+
+            Mc = lambda r: jnp.where(
+                mask_c, r, bell_mod.apply_supernode_jacobi_T(
+                    bplan, theta["_McSNT"], jnp.where(mask_c, 0.0, r)))
+        elif use_bell and "_McSN" in theta:
             from glimslib_tpu.ops import bell as bell_mod
 
             Mc = lambda r: jnp.where(
