@@ -826,6 +826,31 @@ class Simulation(ABC):
                 else:
                     theta["_BellWel"] = Wel
                     theta["_BinvSN"] = Binv
+                if (
+                    self._stencil_el_residual_ok()
+                    and getattr(self, "CONCENTRATION_DEGREE", 1) == 1
+                    and "coupling" in theta and "body_force" in theta
+                ):
+                    # streaming elasticity residual R = A u + C c - load:
+                    # replaces the matrix-free per-cell-gather evaluation
+                    # (~9.8 ms vs ~2 ms of streamed matvecs at 197k tets)
+                    Wc = bell_mod.build_bell_coupling_uc(
+                        bplan, arrays, theta["mu"], theta["lam"],
+                        theta["coupling"], self.dtype, tables=tb,
+                    )
+                    lumped = kern.lumped_mass()
+                    theta["_Bell_el_load"] = lumped[:, None] * (
+                        jnp.broadcast_to(
+                            jnp.asarray(theta["body_force"], self.dtype),
+                            (self.mesh.dim,),
+                        )[None, :]
+                    )
+                    if use_T:
+                        theta.update(
+                            bell_mod.transpose_tables_T(bplan, Wc=Wc)
+                        )
+                    else:
+                        theta["_BellCuc"] = Wc
                 if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
                     Wrd = bell_mod.build_bell_rd_const(
                         bplan, arrays, theta["D"], theta["rho"],

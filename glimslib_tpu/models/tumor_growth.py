@@ -180,6 +180,34 @@ class TumorGrowth(Simulation):
                 + ops.apply_coupling(theta["_Cuc"], c)
                 - theta["_el_load"]
             )
+        if "_Bell_el_load" in theta:
+            # streaming form on the supernode halo-ELL path (unstructured
+            # meshes): assembled matvecs replace the matrix-free per-cell
+            # gathers (ops/bell.py build_bell_coupling_uc)
+            from glimslib_tpu.ops import bell as bell_mod
+
+            bplan = self._get_bell_plan()
+            tb = self._bell_tables_from(theta)
+            halo = (tb or bplan.tables())["_BellHalo"]
+            if "_BellCucT" in theta:
+                return (
+                    bell_mod.apply_bell_vector_T(
+                        bplan, halo, theta["_BellWelT"], u
+                    )
+                    + bell_mod.apply_bell_coupling_T(
+                        bplan, halo, theta["_BellCucT"], c
+                    )
+                    - theta["_Bell_el_load"]
+                )
+            return (
+                bell_mod.apply_bell_vector(
+                    bplan, halo, theta["_BellWel"], u
+                )
+                + bell_mod.apply_bell_coupling(
+                    bplan, halo, theta["_BellCuc"], c
+                )
+                - theta["_Bell_el_load"]
+            )
         bf = theta["body_force"]
         if self._body_force_t is not None:
             bf = bf + jnp.asarray(

@@ -11,10 +11,15 @@ supernode's UNIQUE halo once removes that redundancy:
 - nodes are grouped into contiguous supernodes of ``s`` in the mesh
   order (use a Morton-ordered mesh, core/mesh.py reordered_morton, so
   supernodes are compact blobs — halo size ~126 vs s*K ~ 480 at s=32);
-- per matvec: ONE width-d row gather of each supernode's halo
-  (nb * Kh rows — 3-4x fewer than node-ELL), then a dense local
+- per matvec: ONE width-d row gather of each supernode's EXTERNAL halo
+  (nb * Khe rows — 4-5x fewer than node-ELL), then a dense local
   contraction y[b, i, a] = sum_{h, c} W[b, i, a, h, c] xh[b, h, c]
-  as a full-lane VPU multiply-reduce over the flattened (Kh*d) axis;
+  as a full-lane VPU multiply-reduce over the flattened (Kh*d) axis.
+  The halo layout is OWN-FIRST: slots [0, s) of each block are its own
+  nodes — assembled from x by a pure reshape, no gather — and slots
+  [s, s + Khe) its sorted external neighbors (the only gathered part;
+  own nodes are ~25% of a Morton block's halo, measured 0.84 ms of
+  per-matvec gather at 197k tets before the split);
 - the local operator W stores explicit zeros for non-adjacent pairs
   (memory-for-gathers trade: ~11x fill at s=32, ~205 MB at 36k nodes —
   0.26 ms of HBM streaming replaces ~1.1 ms of gathers);
@@ -83,24 +88,35 @@ class BellPlan:
         ur = (uniq // n).astype(np.int64)
         uc = (uniq % n).astype(np.int64)
 
-        # per-supernode halo: sorted unique columns over the block's rows
-        # (uniq is row-major sorted, so block ids br are nondecreasing)
+        # per-supernode halo, OWN-FIRST layout: slot kh < s is the block's
+        # own node b*s + kh (filled from x by reshape, never gathered);
+        # slots [s, s + Khe) are the sorted EXTERNAL neighbors — the only
+        # part the apply gathers (uniq is row-major sorted, so block ids
+        # br are nondecreasing)
         br = ur // s
         bounds = np.searchsorted(br, np.arange(nb + 1))
-        halos = [np.unique(uc[bounds[b]:bounds[b + 1]]) for b in range(nb)]
-        Kh = max((len(h) for h in halos), default=1)
-        self.Kh = Kh
-        halo_ids = np.full((nb, Kh), n, dtype=np.int32)  # sentinel n
-        for b, h in enumerate(halos):
-            halo_ids[b, : len(h)] = h
-        self.halo_ids = halo_ids
+        exts = []
+        for b in range(nb):
+            h = np.unique(uc[bounds[b]:bounds[b + 1]])
+            exts.append(h[(h < b * s) | (h >= (b + 1) * s)])
+        Khe = max((len(e) for e in exts), default=0)
+        self.Khe = Khe
+        self.Kh = Kh = s + Khe
+        ext_ids = np.full((nb, max(Khe, 1)), n, dtype=np.int32)  # sentinel n
+        for b, e in enumerate(exts):
+            ext_ids[b, : len(e)] = e
+        self.ext_ids = ext_ids[:, :Khe]
 
-        # kh position of each unique pair's column in its row-block's
-        # sorted halo
+        # kh slot of each unique pair's column: own -> local index,
+        # external -> s + position in the block's sorted external halo
         kh_u = np.empty(len(uniq), dtype=np.int64)
         for b in range(nb):
             sl = slice(bounds[b], bounds[b + 1])
-            kh_u[sl] = np.searchsorted(halos[b], uc[sl])
+            c = uc[sl]
+            own = (c >= b * s) & (c < (b + 1) * s)
+            kh_u[sl] = np.where(
+                own, c - b * s, s + np.searchsorted(exts[b], c)
+            )
         dense_slot = (ur * Kh + kh_u)  # (b*s + i_loc) * Kh + kh
 
         # -- class-split assembly plans (see module docstring) -------------
@@ -128,16 +144,15 @@ class BellPlan:
         place[dense_slot[isdiag_u]] = self.n_off + ur[isdiag_u]
         self.place = place.astype(np.int32)
 
-        # own-node halo positions (for self-block extraction): kh index of
-        # node (b*s + i) within block b's halo, for supernode Jacobi
-        own = np.zeros((nb, s), dtype=np.int64)
-        for b in range(nb):
-            ids = np.arange(b * s, min((b + 1) * s, n))
-            pos = np.searchsorted(halos[b], ids)
-            own[b, : len(ids)] = pos
-            if len(ids) < s:  # padded tail of the last block
-                own[b, len(ids):] = 0
-        self.own_slots = own
+    @property
+    def halo_ids(self):
+        """Full (nb, Kh) node id per halo slot (sentinel n for padding) —
+        diagnostic/reconstruction view; the applies gather only
+        :attr:`ext_ids`, own slots come from a reshape of x."""
+        own = (np.arange(self.nb)[:, None] * self.s
+               + np.arange(self.s)[None, :])
+        own = np.where(own < self.n, own, self.n).astype(np.int32)
+        return np.concatenate([own, self.ext_ids], axis=1)
 
     def tables(self, prefix: str = "_Bell"):
         """Plan arrays to thread as jit ARGUMENTS (via theta/aux): tens of
@@ -147,7 +162,7 @@ class BellPlan:
             prefix + "DiagPull": jnp.asarray(self.diag_plan.pull_table),
             prefix + "OffPull": jnp.asarray(self.off_plan.pull_table),
             prefix + "Place": jnp.asarray(self.place),
-            prefix + "Halo": jnp.asarray(self.halo_ids),
+            prefix + "Halo": jnp.asarray(self.ext_ids),
         }
 
     def _tables_or_const(self, tables):
@@ -204,6 +219,55 @@ def build_bell_elasticity(plan: BellPlan, mesh_arrays, mu, lam, dtype,
     ent = jnp.moveaxis(ent, -1, 2)  # (i, j, nc, a, b)
     W = plan.assemble(ent, tables)  # (nb, s, Kh, d, d)
     return jnp.transpose(W, (0, 1, 3, 2, 4))  # (nb, s, d, Kh, d)
+
+
+def build_bell_coupling_uc(plan: BellPlan, mesh_arrays, mu, lam, coupling,
+                           dtype, tables=None):
+    """(nb, s, d, Kh) values of the growth-coupling operator C: scalar
+    concentration -> vector force, so the elasticity residual evaluates as
+    streamed matvecs R = A u + C c - load instead of matrix-free per-cell
+    gathers (reference form simulation_tumor_growth.py:110-113, the
+    -σ(v):(k c I) term).
+
+    Per cell, the contribution to (node i, comp a) is
+    -coupling (2μ + d λ) (vol/(d+1)) g[i, a] · Σ_j c_j — independent of j,
+    so ent[i, j, a] = -coupling (2μ + dλ) (vol/(d+1)) g[i, a]."""
+    g, vol = mesh_arrays  # (npe, d, nc), (nc,)
+    npe, d = g.shape[0], g.shape[1]
+    mu = jnp.asarray(mu, dtype)
+    lam = jnp.asarray(lam, dtype)
+    coupling = jnp.asarray(coupling, dtype)
+    kfac = coupling * (2.0 * mu + d * lam) * vol / (d + 1.0)  # (nc,)
+    ent = jnp.broadcast_to(
+        (-kfac * g)[:, None], (npe, npe, d, g.shape[2])
+    )  # (i, j, a, nc)
+    ent = jnp.moveaxis(ent, -1, 2)  # (i, j, nc, a)
+    W = plan.assemble(ent, tables)  # (nb, s, Kh, d)
+    return jnp.transpose(W, (0, 1, 3, 2))  # (nb, s, d, Kh)
+
+
+def apply_bell_coupling(plan: BellPlan, ext_ids, Wc, c):
+    """(n,) concentration -> (n, d) coupling force; Wc (nb, s, d, Kh)."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec
+
+    n = c.shape[0]
+    nb, s, Kh = plan.nb, plan.s, plan.Kh
+    d = Wc.shape[2]
+    xh = _halo_scalar(plan, ext_ids, c)
+    y = batched_matvec(Wc.reshape(nb, s * d, Kh), xh)  # (nb, s*d)
+    return y.reshape(nb * s, d)[:n]
+
+
+def apply_bell_coupling_T(plan: BellPlan, ext_ids, WcT, c):
+    """Block-lanes coupling apply; WcT (s*d, Kh, nb), c (n,)."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec_T
+
+    n = c.shape[0]
+    nb, s = plan.nb, plan.s
+    d = WcT.shape[0] // s
+    xh = _halo_scalar(plan, ext_ids, c)
+    y = batched_matvec_T(WcT, xh.T)  # (s*d, nb)
+    return y.T.reshape(nb * s, d)[:n]
 
 
 def build_bell_rd_const(plan: BellPlan, mesh_arrays, D, rho, dt, m0, dtype,
@@ -273,7 +337,28 @@ def build_bell_rd_wc_lumped(plan: BellPlan, mesh_arrays, cells_T, c, rho,
     return pull_accumulate(diag_pull.ravel(), plan.n, contrib.ravel())
 
 
-def apply_bell_vector(plan: BellPlan, halo_ids, W, x):
+def _halo_vector(plan: BellPlan, ext_ids, x):
+    """(nb, Kh*d) halo operand: own slots by reshape, external by gather."""
+    n, d = x.shape
+    nb, s = plan.nb, plan.s
+    xo = jnp.pad(x, ((0, plan.n_pad - n), (0, 0))).reshape(nb, s * d)
+    xp = jnp.pad(x, ((0, 1), (0, 0)))
+    xe = jnp.take(xp, ext_ids.ravel(), axis=0).reshape(nb, plan.Khe * d)
+    return jnp.concatenate([xo, xe], axis=1)
+
+
+def _halo_scalar(plan: BellPlan, ext_ids, x):
+    """(nb, Kh) halo operand; width-2 duplicated rows keep the external
+    gather on the fast row path."""
+    n = x.shape[0]
+    nb, s = plan.nb, plan.s
+    xo = jnp.pad(x, (0, plan.n_pad - n)).reshape(nb, s)
+    xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
+    xe = jnp.take(xp, ext_ids.ravel(), axis=0)[:, 0].reshape(nb, plan.Khe)
+    return jnp.concatenate([xo, xe], axis=1)
+
+
+def apply_bell_vector(plan: BellPlan, ext_ids, W, x):
     """y[i, a] = halo-gather + dense local contraction; W (nb, s, d, Kh, d),
     x (n, d).  The contraction runs as a streamed Pallas batched matvec on
     TPU f32 (ops/bell_pallas.py — XLA leaves the (nb, s*d, Kh*d) product
@@ -282,21 +367,18 @@ def apply_bell_vector(plan: BellPlan, halo_ids, W, x):
 
     n, d = x.shape
     nb, s, Kh = plan.nb, plan.s, plan.Kh
-    xp = jnp.pad(x, ((0, 1), (0, 0)))
-    xh = jnp.take(xp, halo_ids.ravel(), axis=0).reshape(nb, Kh * d)
+    xh = _halo_vector(plan, ext_ids, x)
     y = batched_matvec(W.reshape(nb, s * d, Kh * d), xh)  # (nb, s*d)
     return y.reshape(nb * s, d)[:n]
 
 
-def apply_bell_scalar(plan: BellPlan, halo_ids, W, x):
-    """Scalar halo-ELL matvec; W (nb, s, Kh), x (n,).  Width-2 duplicated
-    rows keep the halo gather on the fast row path."""
+def apply_bell_scalar(plan: BellPlan, ext_ids, W, x):
+    """Scalar halo-ELL matvec; W (nb, s, Kh), x (n,)."""
     from glimslib_tpu.ops.bell_pallas import batched_matvec
 
     n = x.shape[0]
-    nb, s, Kh = plan.nb, plan.s, plan.Kh
-    xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
-    xh = jnp.take(xp, halo_ids.ravel(), axis=0)[:, 0].reshape(nb, Kh)
+    nb, s = plan.nb, plan.s
+    xh = _halo_scalar(plan, ext_ids, x)
     y = batched_matvec(W, xh)  # (nb, s)
     return y.reshape(nb * s)[:n]
 
@@ -321,21 +403,27 @@ def bell_T_available(plan: BellPlan, d: int):
         and bp.bmv_T_available(nb, s * d, Kh * d)
         and bp.bmv_T_available(nb, s, Kh)
         and bp.bmv_T_available(nb, s * d, s * d)
+        and bp.bmv_T_available(nb, s * d, Kh)
     )
 
 
 def transpose_tables_T(plan: BellPlan, W=None, Wrd=None, Binv=None,
-                       Minv=None):
+                       Minv=None, Wc=None):
     """One-time (per simulate) transposes to the (M, K, nb) kernel layout.
 
     W (nb, s, d, Kh, d) -> (s*d, Kh*d, nb); Wrd (nb, s, Kh) -> (s, Kh, nb);
-    Binv/Minv (nb, m, m) -> (m, m, nb) (self-blocks are symmetric, so the
-    two m axes are interchangeable)."""
+    Wc (nb, s, d, Kh) -> (s*d, Kh, nb); Binv/Minv (nb, m, m) -> (m, m, nb)
+    (self-blocks are symmetric, so the two m axes are interchangeable)."""
     out = {}
     if W is not None:
         nb, s, d, Kh, _ = W.shape
         out["_BellWelT"] = jnp.transpose(
             W.reshape(nb, s * d, Kh * d), (1, 2, 0)
+        )
+    if Wc is not None:
+        nb, s, d, Kh = Wc.shape
+        out["_BellCucT"] = jnp.transpose(
+            Wc.reshape(nb, s * d, Kh), (1, 2, 0)
         )
     if Wrd is not None:
         out["_BellWrdCT"] = jnp.transpose(Wrd, (1, 2, 0))
@@ -346,26 +434,24 @@ def transpose_tables_T(plan: BellPlan, W=None, Wrd=None, Binv=None,
     return out
 
 
-def apply_bell_vector_T(plan: BellPlan, halo_ids, WT, x):
+def apply_bell_vector_T(plan: BellPlan, ext_ids, WT, x):
     """Block-lanes halo-ELL matvec; WT (s*d, Kh*d, nb), x (n, d)."""
     from glimslib_tpu.ops.bell_pallas import batched_matvec_T
 
     n, d = x.shape
-    nb, s, Kh = plan.nb, plan.s, plan.Kh
-    xp = jnp.pad(x, ((0, 1), (0, 0)))
-    xh = jnp.take(xp, halo_ids.ravel(), axis=0).reshape(nb, Kh * d)
+    nb, s = plan.nb, plan.s
+    xh = _halo_vector(plan, ext_ids, x)
     y = batched_matvec_T(WT, xh.T)  # (s*d, nb)
     return y.T.reshape(nb * s, d)[:n]
 
 
-def apply_bell_scalar_T(plan: BellPlan, halo_ids, WT, x):
+def apply_bell_scalar_T(plan: BellPlan, ext_ids, WT, x):
     """Block-lanes scalar halo-ELL matvec; WT (s, Kh, nb), x (n,)."""
     from glimslib_tpu.ops.bell_pallas import batched_matvec_T
 
     n = x.shape[0]
-    nb, s, Kh = plan.nb, plan.s, plan.Kh
-    xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
-    xh = jnp.take(xp, halo_ids.ravel(), axis=0)[:, 0].reshape(nb, Kh)
+    nb, s = plan.nb, plan.s
+    xh = _halo_scalar(plan, ext_ids, x)
     y = batched_matvec_T(WT, xh.T)  # (s, nb)
     return y.T.reshape(nb * s)[:n]
 
@@ -385,28 +471,17 @@ def apply_supernode_jacobi_T(plan: BellPlan, BinvT, r):
 
 
 def extract_self_blocks_vector(plan: BellPlan, W):
-    """Self-block (s*d x s*d) of each supernode from (nb, s, d, Kh, d)."""
+    """Self-block (s*d x s*d) of each supernode from (nb, s, d, Kh, d) —
+    the own-first halo layout puts them in the static first-s slots."""
     nb, s, Kh = plan.nb, plan.s, plan.Kh
     d = W.shape[2]
-    own = jnp.asarray(plan.own_slots)  # (nb, s)
-    # B[b, i, a, j, c] = W[b, i, a, own[b, j], c]
     Wf = W.reshape(nb, s * d, Kh, d)
-    B = jnp.take_along_axis(
-        Wf, own[:, None, :, None].astype(jnp.int32) * jnp.ones(
-            (1, s * d, 1, d), jnp.int32
-        ), axis=2
-    )  # (nb, s*d, s, d)
-    return B.reshape(nb, s * d, s * d)
+    return Wf[:, :, :s, :].reshape(nb, s * d, s * d)
 
 
 def extract_self_blocks_scalar(plan: BellPlan, W):
     """Self-block (s x s) of each supernode from (nb, s, Kh)."""
-    own = jnp.asarray(plan.own_slots)  # (nb, s)
-    return jnp.take_along_axis(
-        W, own[:, None, :].astype(jnp.int32) * jnp.ones(
-            (1, plan.s, 1), jnp.int32
-        ), axis=2
-    )  # (nb, s, s)
+    return W[:, :, : plan.s]
 
 
 def supernode_jacobi_inverse(plan: BellPlan, B, mask=None):

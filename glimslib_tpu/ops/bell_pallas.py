@@ -112,22 +112,28 @@ _NBT = 128  # lane-tile chunk of the block axis
 
 def _nbt_for(B: int) -> int:
     """Lane chunk of the block axis: full lane tiles (128) when B divides,
-    else the whole axis (allowed when the block dim equals the array dim —
-    small CPU-test plans); 0 if neither works."""
+    else the whole axis — but only up to one lane tile (small CPU-test
+    plans).  A non-lane-aligned chunk > 128 (e.g. nb=160 at the 24.6k-tet
+    size) makes Mosaic allocate lane-padded windows that blow the 16 MB
+    scoped-VMEM limit on the real chip; those sizes fall back to the
+    grouped :func:`batched_matvec`.  0 if neither works."""
     if B % _NBT == 0:
         return _NBT
-    return B if B % 8 == 0 else 0
+    return B if (B % 8 == 0 and B <= _NBT) else 0
 
 
 def _mt_for(M: int, K: int, nbt: int) -> int:
     """Largest M-tile (multiple of 8, dividing M) whose double-buffered
     working set fits — fewer, larger grid steps amortize the per-step cost
     (measured ~5 us/step: a 108-step 41 MB apply cost 0.65 ms against a
-    ~0.1 ms stream floor)."""
+    ~0.1 ms stream floor).  Budgeted on Mosaic's PADDED window sizes
+    (sublane dim to 8, lane dim to 128)."""
+    kp = -(-K // 8) * 8
+    nbtp = -(-nbt // _NBT) * _NBT
     for mt in range(M - M % 8, 0, -8):
         if M % mt:
             continue
-        per = (mt * K * nbt + K * nbt + mt * nbt) * 4 * 2
+        per = (mt * kp * nbtp + kp * nbtp + mt * nbtp) * 4 * 2
         if per <= _VMEM_BUDGET:
             return mt
     return 0

@@ -35,7 +35,7 @@ def test_bell_elasticity_matches_jvp(mesh, s):
     c0 = jnp.zeros(mesh.n_nodes)
 
     got = np.asarray(
-        bell.apply_bell_vector(plan, jnp.asarray(plan.halo_ids), W, u)
+        bell.apply_bell_vector(plan, jnp.asarray(plan.ext_ids), W, u)
     )
     resid = lambda uu: k.elasticity_residual(uu, c0, mu, lam, 0.0)
     want = np.asarray(jax.jvp(resid, (jnp.zeros_like(u),), (u,))[1])
@@ -64,7 +64,7 @@ def test_bell_rd_jacobian_matches_jvp(mesh, s):
     W = W + bell.build_bell_rd_wc(plan, (k.grads_T, k.vol), k.cells_flat, c,
                                   rho, dt, k._t0, 1.0, k.dtype)
     got = np.asarray(
-        bell.apply_bell_scalar(plan, jnp.asarray(plan.halo_ids), W, v)
+        bell.apply_bell_scalar(plan, jnp.asarray(plan.ext_ids), W, v)
     )
     resid = lambda cc: k.rd_residual(cc, c, D, rho, dt)
     want = np.asarray(jax.jvp(resid, (c,), (v,))[1])
@@ -87,7 +87,7 @@ def test_bell_rd_wc_lumped_is_row_sums():
                               rho, dt, k._t0, cmax, k.dtype)
     ones = jnp.ones(mesh.n_nodes)
     want = np.asarray(
-        bell.apply_bell_scalar(plan, jnp.asarray(plan.halo_ids), W, ones)
+        bell.apply_bell_scalar(plan, jnp.asarray(plan.ext_ids), W, ones)
     )
     got = np.asarray(
         bell.build_bell_rd_wc_lumped(plan, (k.grads_T, k.vol), k.cells_flat,
@@ -126,7 +126,7 @@ def test_bell_T_applies_match_canonical(monkeypatch):
                                    jnp.float32)
     Wrd = bell.build_bell_rd_const(plan, (k.grads_T, k.vol), 0.1, 0.2, 0.7,
                                    k._m0, jnp.float32)
-    halo = jnp.asarray(plan.halo_ids)
+    halo = jnp.asarray(plan.ext_ids)
     u = jnp.asarray(rng.standard_normal((mesh.n_nodes, mesh.dim)),
                     jnp.float32)
     v = jnp.asarray(rng.standard_normal(mesh.n_nodes), jnp.float32)
@@ -186,3 +186,41 @@ def test_supernode_jacobi_inverts_self_blocks():
     # masked dofs pass through unchanged
     rm = np.asarray(r).reshape(-1)[:m][fm]
     assert np.allclose(z.reshape(-1)[:m][fm], rm, atol=1e-12)
+
+
+def test_bell_streaming_el_residual_matches_matrix_free():
+    """The assembled streaming elasticity residual (A u + C c - load,
+    models/base.py bell branch + ops/bell.py build_bell_coupling_uc)
+    equals the matrix-free per-cell evaluation on an unstructured mesh."""
+    from glimslib_tpu.models.tumor_growth import TumorGrowth
+
+    mesh = _morton(box_mesh((-1, -1, -1), (1, 1, 1), 5, 5, 5))
+
+    class Boundary:
+        def inside(self, x, on_boundary):
+            return on_boundary
+
+    sim = TumorGrowth(mesh)
+    sim.setup_global_parameters(
+        boundaries={"all": Boundary()},
+        dirichlet_bcs={"clamped": {"bc_value": np.zeros(3),
+                                   "named_boundary": "all",
+                                   "subspace_id": 0}},
+    )
+    sim.setup_model_parameters(
+        iv_expression={0: np.zeros(3),
+                       1: lambda x: np.exp(-(x ** 2).sum(axis=1))},
+        diffusion=0.1, coupling=0.2, proliferation=0.1, E=0.01,
+        poisson=0.45, sim_time=2, sim_time_step=1,
+    )
+    theta = sim.make_theta(sim.params.as_dict())
+    aug = sim._augment_theta_with_operators({**theta, **sim.runtime_aux()})
+    assert "_Bell_el_load" in aug, "streaming el residual not built"
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, 3)), sim.dtype)
+    c = jnp.asarray(rng.random(mesh.n_nodes), sim.dtype)
+    t = jnp.asarray(1.0, sim.dtype)
+
+    got = np.asarray(sim.el_residual(u, c, aug, t))
+    want = np.asarray(sim.el_residual(u, c, theta, t))  # matrix-free
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()

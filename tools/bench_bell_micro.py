@@ -86,10 +86,11 @@ def main():
             lambda v, h, Wv: bell_mod.apply_bell_scalar_T(bplan, h, Wv, v),
             jnp.asarray(iv[1], dtype) + 0.01,
             args=(halo, aug["_BellWrdCT"])) * 1e3
-        # gather alone (the halo fetch is the other roofline term)
+        # halo build alone (own-reshape + external gather + concat is the
+        # other roofline term)
         out["halo_gather_ms"] = _time_inloop(
-            lambda u, h: jnp.take(
-                jnp.pad(u, ((0, 1), (0, 0))), h.ravel(), axis=0
+            lambda u, h: bell_mod._halo_vector(bplan, h, u).reshape(
+                -1, u.shape[1]
             )[: u.shape[0]] * 1.0,
             u0, args=(halo,)) * 1e3
         W = jnp.transpose(
@@ -106,8 +107,7 @@ def main():
 
     def matvec_dot(u, h, Wv, prec):
         npts = u.shape[0]
-        xp = jnp.pad(u, ((0, 1), (0, 0)))
-        xh = jnp.take(xp, h.ravel(), axis=0).reshape(nb, Kh * d)
+        xh = bell_mod._halo_vector(bplan, h, u)
         y = jax.lax.dot_general(
             Wv.reshape(nb, s * d, Kh * d), xh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
