@@ -1114,6 +1114,15 @@ class Simulation(ABC):
                     return lambda r: r / diag
 
         hi = self.hi_residual_fns() if self.step_config.refine_f64 else None
+        # extrapolated warm starts pay exactly when assembled operators
+        # exist (cheap streamed residuals for the anchored tolerances) and
+        # pcg owns the stopping rule (solvers/coupled.py make_step docs)
+        self._warm_start_ok = (
+            rd_jacobian is not None
+            and el_operator is not None
+            and rd_cg is None
+            and el_cg is None
+        )
         return make_step(
             rd_residual=self.rd_residual,
             el_residual=self.el_residual,
@@ -1156,17 +1165,31 @@ class Simulation(ABC):
                 theta = {**theta, **aux}
             theta = self._augment_theta_with_operators(theta)
 
+            warm = getattr(self, "_warm_start_ok", False)
+
             def body(carry, i):
-                u_prev, c_prev, ok = carry
+                u_prev, c_prev, u_pp, c_pp, ok = carry
                 t = (i + 1.0) * dt
-                u, c, conv, n_newton = step(theta, u_prev, c_prev, t)
+                if warm:
+                    # linear extrapolation from the two previous states —
+                    # a pure iteration-count saving (anchored tolerances,
+                    # solvers/coupled.py); frozen trajectories stay frozen
+                    # (u_prev == u_pp after a failed step)
+                    guess = (2.0 * u_prev - u_pp, 2.0 * c_prev - c_pp)
+                    u, c, conv, n_newton = step(theta, u_prev, c_prev, t,
+                                                guess)
+                else:
+                    u, c, conv, n_newton = step(theta, u_prev, c_prev, t)
                 ok_new = jnp.logical_and(ok, conv)
                 u_out = self._shard_nodes(jnp.where(ok_new, u, u_prev), 0)
                 c_out = self._shard_nodes(jnp.where(ok_new, c, c_prev), 0)
-                return (u_out, c_out, ok_new), (u_out, c_out, ok_new, n_newton)
+                return (
+                    (u_out, c_out, u_prev, c_prev, ok_new),
+                    (u_out, c_out, ok_new, n_newton),
+                )
 
-            init = (u0, c0, jnp.asarray(True))
-            (_, _, ok), traj = jax.lax.scan(
+            init = (u0, c0, u0, c0, jnp.asarray(True))
+            (_, _, _, _, ok), traj = jax.lax.scan(
                 body, init, jnp.arange(n_steps, dtype=self.dtype)
             )
             return traj

@@ -259,12 +259,13 @@ def apply_bell_coupling(plan: BellPlan, ext_ids, Wc, c):
 
 
 def apply_bell_coupling_T(plan: BellPlan, ext_ids, WcT, c):
-    """Block-lanes coupling apply; WcT (s*d, Kh, nb), c (n,)."""
+    """Kernel-layout coupling apply; WcT (s*d, Kh, nb) or chunked
+    (nb/128, s*d, Kh, 128), c (n,)."""
     from glimslib_tpu.ops.bell_pallas import batched_matvec_T
 
     n = c.shape[0]
     nb, s = plan.nb, plan.s
-    d = WcT.shape[0] // s
+    d = (WcT.shape[1] if WcT.ndim == 4 else WcT.shape[0]) // s
     xh = _halo_scalar(plan, ext_ids, c)
     y = batched_matvec_T(WcT, xh.T)  # (s*d, nb)
     return y.T.reshape(nb * s, d)[:n]
@@ -394,44 +395,71 @@ def apply_bell_scalar(plan: BellPlan, ext_ids, W, x):
 
 def bell_T_available(plan: BellPlan, d: int):
     """True when the block-lanes kernels can run for this plan (TPU f32
-    path; callers must also check dtype)."""
+    path; callers must also check dtype).  Each table independently uses
+    the chunk-contiguous (nb/128, M, K, 128) layout when available (full-
+    bandwidth DMA, ops/bell_pallas.py bmv_C) or the (M, K, nb) layout."""
     from glimslib_tpu.ops import bell_pallas as bp
 
-    s, Kh, nb = plan.s, plan.Kh, plan.nb
+    def ok(m, k):
+        return bp.bmv_T_available(plan.nb, m, k) or bp.bmv_C_available(
+            plan.nb, m, k
+        )
+
+    s, Kh = plan.s, plan.Kh
     return (
         (bp.pallas_enabled() or bp._interpret())
-        and bp.bmv_T_available(nb, s * d, Kh * d)
-        and bp.bmv_T_available(nb, s, Kh)
-        and bp.bmv_T_available(nb, s * d, s * d)
-        and bp.bmv_T_available(nb, s * d, Kh)
+        and ok(s * d, Kh * d)
+        and ok(s, Kh)
+        and ok(s * d, s * d)
+        and ok(s * d, Kh)
     )
+
+
+def _to_kernel_layout(A3):
+    """(nb, M, K) -> the batched_matvec_T kernel layout: chunk-contiguous
+    (nb/128, M, K, 128) when the C kernel fits (one contiguous DMA per
+    grid block — ~2.5x the effective stream bandwidth of the strided
+    (M, K, nb) layout at flagship shapes), else (M, K, nb)."""
+    from glimslib_tpu.ops import bell_pallas as bp
+
+    nb, M, K = A3.shape
+    if bp.bmv_C_available(nb, M, K):
+        return jnp.transpose(A3.reshape(nb // 128, 128, M, K), (0, 2, 3, 1))
+    return jnp.transpose(A3, (1, 2, 0))
 
 
 def transpose_tables_T(plan: BellPlan, W=None, Wrd=None, Binv=None,
                        Minv=None, Wc=None):
-    """One-time (per simulate) transposes to the (M, K, nb) kernel layout.
+    """One-time (per simulate) relayouts to the batched_matvec_T kernel
+    layouts (see :func:`_to_kernel_layout`; applies dispatch on ndim).
 
-    W (nb, s, d, Kh, d) -> (s*d, Kh*d, nb); Wrd (nb, s, Kh) -> (s, Kh, nb);
-    Wc (nb, s, d, Kh) -> (s*d, Kh, nb); Binv/Minv (nb, m, m) -> (m, m, nb)
-    (self-blocks are symmetric, so the two m axes are interchangeable)."""
+    W (nb, s, d, Kh, d) flattens to (nb, s*d, Kh*d); Wrd (nb, s, Kh);
+    Wc (nb, s, d, Kh) -> (nb, s*d, Kh); Binv/Minv (nb, m, m) (self-blocks
+    are symmetric, so the two m axes are interchangeable)."""
     out = {}
     if W is not None:
         nb, s, d, Kh, _ = W.shape
-        out["_BellWelT"] = jnp.transpose(
-            W.reshape(nb, s * d, Kh * d), (1, 2, 0)
-        )
+        out["_BellWelT"] = _to_kernel_layout(W.reshape(nb, s * d, Kh * d))
     if Wc is not None:
         nb, s, d, Kh = Wc.shape
-        out["_BellCucT"] = jnp.transpose(
-            Wc.reshape(nb, s * d, Kh), (1, 2, 0)
-        )
+        out["_BellCucT"] = _to_kernel_layout(Wc.reshape(nb, s * d, Kh))
     if Wrd is not None:
-        out["_BellWrdCT"] = jnp.transpose(Wrd, (1, 2, 0))
+        out["_BellWrdCT"] = _to_kernel_layout(Wrd)
     if Binv is not None:
-        out["_BinvSNT"] = jnp.transpose(Binv, (1, 2, 0))
+        out["_BinvSNT"] = _to_kernel_layout(Binv)
     if Minv is not None:
-        out["_McSNT"] = jnp.transpose(Minv, (1, 2, 0))
+        out["_McSNT"] = _to_kernel_layout(Minv)
     return out
+
+
+def from_kernel_layout(A):
+    """Inverse of :func:`_to_kernel_layout`: kernel-layout table (either
+    (M, K, nb) or chunked (nb/128, M, K, 128)) -> canonical (nb, M, K).
+    Diagnostic/tool helper; not on any hot path."""
+    if A.ndim == 4:
+        nbc, M, K, L = A.shape
+        return jnp.transpose(A, (0, 3, 1, 2)).reshape(nbc * L, M, K)
+    return jnp.transpose(A, (2, 0, 1))
 
 
 def apply_bell_vector_T(plan: BellPlan, ext_ids, WT, x):
@@ -457,10 +485,12 @@ def apply_bell_scalar_T(plan: BellPlan, ext_ids, WT, x):
 
 
 def apply_supernode_jacobi_T(plan: BellPlan, BinvT, r):
-    """Block-lanes supernode dense solve; BinvT (m, m, nb), r (n, d)/(n,)."""
+    """Kernel-layout supernode dense solve; BinvT (m, m, nb) or chunked
+    (nb/128, m, m, 128), r (n, d)/(n,)."""
     from glimslib_tpu.ops.bell_pallas import batched_matvec_T
 
-    m, _, nb = BinvT.shape
+    m = BinvT.shape[1]
+    nb = plan.nb
     shape = r.shape
     rp = jnp.pad(r.reshape(-1), (0, nb * m - r.reshape(-1).shape[0]))
     z = batched_matvec_T(BinvT, rp.reshape(nb, m).T)  # (m, nb)

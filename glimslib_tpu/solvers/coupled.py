@@ -131,7 +131,19 @@ def make_step(
 ):
     """Build the differentiable coupled step:
 
-        step(theta, u_prev, c_prev, t) -> (u, c, converged, n_newton)
+        step(theta, u_prev, c_prev, t[, guess]) -> (u, c, converged, n_newton)
+
+    ``guess`` (optional): (u_guess, c_guess) extrapolated warm starts for
+    the two solves (the scan body passes 2x_k - x_{k-1}).  A warm start
+    never changes the converged state — only iteration counts — because
+    the stopping tolerances stay ANCHORED at the unextrapolated points
+    (||r(u_prev)||, ||r(c_prev)||): a relative tolerance measured at a
+    better start would tighten the absolute target and give the warm
+    start's savings right back.  Costs one extra residual evaluation per
+    block; gated to the assembled-operator paths (cheap streamed
+    residuals) by the caller, and ignored when the fused whole-solve
+    kernels own the stopping rule.  Gradients: the converged state does
+    not depend on the guess, so its IFT cotangent is exactly zero.
 
     When ``rd_jacobian``/``el_operator`` are given (the assembled
     offset-stencil fast path, ops/stencil.py), CG applies those operators
@@ -150,9 +162,12 @@ def make_step(
 
         return A
 
-    def _solve_forward(theta, u_prev, c_prev, t):
+    def _solve_forward(theta, u_prev, c_prev, t, guess=None):
         gc = bc_values_c(t)
         gu = bc_values_u(t)
+        # warm starts only where pcg owns the stopping rule (the fused
+        # whole-solve kernels would measure rtol against the warm rhs)
+        warm = guess is not None and el_cg is None and rd_cg is None
 
         # mixed-precision refinement: f64 residual evaluation around the
         # f32 inner solves (static switch; no-op when x64 is unavailable
@@ -217,6 +232,12 @@ def make_step(
         r0 = resid_c_eval(c0)
         f0 = jnp.sqrt(jnp.sum(r0 * r0))
         ftol = jnp.maximum(cfg.newton_rtol * f0, cfg.newton_atol)
+        if warm:
+            # start Newton at the extrapolated guess; ftol stays anchored
+            # at f0 = ||r(c_prev)|| above (see make_step docstring)
+            c0 = jnp.where(mask_c, gc, guess[1])
+            r0 = resid_c_eval(c0)
+            f0 = jnp.sqrt(jnp.sum(r0 * r0))
 
         # modified Newton: one Jacobian assembly per step, hoisted out of
         # the Newton loop (see StepConfig.rd_modified_newton).  Accuracy
@@ -299,6 +320,15 @@ def make_step(
             ru = resid_u_hi(u0, c).astype(u_prev.dtype)
         else:
             ru = resid_u(u0)
+        if warm:
+            # CG tolerance anchored at ||r(u_prev)||; iterate from the
+            # extrapolated guess (same converged u, fewer iterations)
+            anchor_u = jnp.sqrt(jnp.sum(jnp.where(mask_u, 0.0, ru) ** 2))
+            u0 = jnp.where(mask_u, gu, guess[0])
+            if use_refine:
+                ru = resid_u_hi(u0, c).astype(u_prev.dtype)
+            else:
+                ru = resid_u(u0)
         if el_operator is not None:
             Au = _op_masked(el_operator(theta), mask_u)
         else:
@@ -314,6 +344,15 @@ def make_step(
         rhs_u = jnp.where(mask_u, 0.0, -ru)
         if el_cg is not None:
             du, info_u = el_cg(theta, rhs_u)
+        elif warm:
+            du, info_u = pcg(
+                Au,
+                rhs_u,
+                M=Mu_solve,
+                rtol=0.0,
+                atol=jnp.maximum(cfg.cg_rtol * anchor_u, cfg.cg_atol),
+                maxiter=cfg.cg_maxiter,
+            )
         else:
             du, info_u = pcg(
                 Au,
@@ -327,7 +366,7 @@ def make_step(
         # A stalled elasticity CG (maxiter without reaching tolerance) must
         # freeze the trajectory like a failed Newton does — mirror pcg's own
         # stopping test, plus finiteness (advisor finding r1).
-        rhs_norm = jnp.sqrt(jnp.sum(rhs_u * rhs_u))
+        rhs_norm = anchor_u if warm else jnp.sqrt(jnp.sum(rhs_u * rhs_u))
         tol_u = jnp.maximum(cfg.cg_rtol * rhs_norm, cfg.cg_atol)
         conv_u = jnp.logical_and(
             jnp.isfinite(info_u["resnorm"]), info_u["resnorm"] <= tol_u
@@ -435,4 +474,28 @@ def make_step(
         return (theta_bar, u_prev_bar, c_prev_bar, None)
 
     step.defvjp(step_fwd, step_bwd)
-    return step
+
+    @jax.custom_vjp
+    def step_warm(theta, u_prev, c_prev, t, guess):
+        return _solve_forward(theta, u_prev, c_prev, t, guess)
+
+    def step_warm_fwd(theta, u_prev, c_prev, t, guess):
+        out = _solve_forward(theta, u_prev, c_prev, t, guess)
+        u, c, conv, k = out
+        return out, (theta, u_prev, c_prev, t, u, c)
+
+    def step_warm_bwd(saved, cot):
+        # identical IFT adjoint; the converged state does not depend on
+        # the warm start, so its cotangent is exactly zero
+        theta_bar, u_prev_bar, c_prev_bar, _ = step_bwd(saved, cot)
+        return (theta_bar, u_prev_bar, c_prev_bar, None,
+                (jnp.zeros_like(u_prev_bar), jnp.zeros_like(c_prev_bar)))
+
+    step_warm.defvjp(step_warm_fwd, step_warm_bwd)
+
+    def step_api(theta, u_prev, c_prev, t, guess=None):
+        if guess is None:
+            return step(theta, u_prev, c_prev, t)
+        return step_warm(theta, u_prev, c_prev, t, guess)
+
+    return step_api

@@ -149,6 +149,51 @@ def test_bell_T_applies_match_canonical(monkeypatch):
     assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
 
 
+def test_bell_C_layout_applies_match_canonical(monkeypatch):
+    """Chunk-contiguous (nb/128, M, K, 128) kernel layout (interpret mode)
+    == canonical applies; exercised at nb == 128 (1024-node mesh, s=8) so
+    transpose_tables_T actually selects the C layout."""
+    from glimslib_tpu.ops import bell_pallas
+
+    monkeypatch.setenv("GLIMS_PALLAS_INTERPRET", "1")
+    mesh = _morton(box_mesh((0, 0, 0), (1, 1, 2), 7, 7, 15))
+    k = P1Kernels(mesh, dtype=jnp.float32)
+    plan = bell.BellPlan(mesh, s=8)
+    assert plan.nb == 128, plan.nb
+    assert bell_pallas.bmv_C_available(plan.nb, plan.s * 3, plan.Kh * 3)
+    rng = np.random.default_rng(9)
+    W = bell.build_bell_elasticity(plan, (k.grads_T, k.vol), 1.0, 9.0,
+                                   jnp.float32)
+    Wrd = bell.build_bell_rd_const(plan, (k.grads_T, k.vol), 0.1, 0.2, 0.7,
+                                   k._m0, jnp.float32)
+    halo = jnp.asarray(plan.ext_ids)
+    u = jnp.asarray(rng.standard_normal((mesh.n_nodes, mesh.dim)),
+                    jnp.float32)
+    v = jnp.asarray(rng.standard_normal(mesh.n_nodes), jnp.float32)
+    Binv = bell.supernode_jacobi_inverse(
+        plan, bell.extract_self_blocks_vector(plan, W))
+    T = bell.transpose_tables_T(plan, W=W, Wrd=Wrd, Binv=Binv)
+    assert T["_BellWelT"].ndim == 4, "C layout not selected at nb=128"
+    # round-trip through the layout helper
+    Wrt = bell.from_kernel_layout(T["_BellWelT"]).reshape(
+        plan.nb, plan.s, 3, plan.Kh, 3)
+    assert np.allclose(np.asarray(Wrt), np.asarray(W), atol=0)
+
+    want = np.asarray(bell.apply_bell_vector(plan, halo, W, u))
+    got = np.asarray(bell.apply_bell_vector_T(plan, halo, T["_BellWelT"], u))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+    want = np.asarray(bell.apply_bell_scalar(plan, halo, Wrd, v))
+    got = np.asarray(
+        bell.apply_bell_scalar_T(plan, halo, T["_BellWrdCT"], v))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+    want = np.asarray(bell.apply_supernode_jacobi(plan, Binv, u))
+    got = np.asarray(
+        bell.apply_supernode_jacobi_T(plan, T["_BinvSNT"], u))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
 def test_supernode_jacobi_inverts_self_blocks():
     """apply_supernode_jacobi(Binv, r) solves the per-supernode self-block
     system: dense-reconstruct block 0 and compare; masked dofs identity."""

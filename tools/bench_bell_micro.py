@@ -93,10 +93,9 @@ def main():
                 -1, u.shape[1]
             )[: u.shape[0]] * 1.0,
             u0, args=(halo,)) * 1e3
-        W = jnp.transpose(
-            WT.reshape(bplan.s, sim.mesh.dim, bplan.Kh, sim.mesh.dim, nb),
-            (4, 0, 1, 2, 3))
-        Binv = jnp.transpose(BinvT, (2, 0, 1))
+        W = bell_mod.from_kernel_layout(WT).reshape(
+            nb, bplan.s, sim.mesh.dim, bplan.Kh, sim.mesh.dim)
+        Binv = bell_mod.from_kernel_layout(BinvT)
     else:
         W = aug["_BellWel"]
         Binv = aug["_BinvSN"]
