@@ -857,6 +857,25 @@ class Simulation(ABC):
                         theta["dt"], kern._m0, self.dtype, tables=tb,
                     )
                     theta["_BellWrdC"] = Wrd
+                    if self._stencil_rd_residual_ok():
+                        # streamed rd residual R = W_const c + quad(c)
+                        # - M c_prev - load (ops/bell.py build_bell_mass):
+                        # replaces the two-field gather+scatter residual
+                        Mrd = bell_mod.build_bell_mass(
+                            bplan, arrays, kern._m0, self.dtype, tables=tb,
+                        )
+                        zero_c = jnp.zeros(self.mesh.n_nodes, self.dtype)
+                        load = kern.rd_residual(
+                            zero_c, zero_c, theta["D"], theta["rho"],
+                            theta["dt"], source=theta["source"],
+                        )
+                        theta["_Bell_rd_load"] = -load  # r(0) = -dt s v
+                        if use_T:
+                            theta.update(bell_mod.transpose_tables_T(
+                                bplan, Mrd=Mrd,
+                            ))
+                        else:
+                            theta["_BellMrd"] = Mrd
                     # rd supernode Jacobi from the CONSTANT Jacobian part:
                     # the per-Newton logistic correction is a small SPD
                     # perturbation, so the frozen blocks stay an effective

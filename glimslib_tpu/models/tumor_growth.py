@@ -152,6 +152,33 @@ class TumorGrowth(Simulation):
                 - ops.apply_scalar(theta["_Mst"], c_prev)
                 - theta["_rd_load"]
             )
+        if "_Bell_rd_load" in theta:
+            # streaming form on the supernode halo-ELL path (unstructured
+            # meshes): R = W_const c + dtρ/c_max ∫c²φ − M c_prev − load —
+            # two assembled matvecs + a single-field quadratic gather
+            # replace the two-field gather+scatter evaluation
+            # (ops/bell.py build_bell_mass)
+            from glimslib_tpu.ops import bell as bell_mod
+
+            bplan = self._get_bell_plan()
+            tb = self._bell_tables_from(theta)
+            halo = (tb or bplan.tables())["_BellHalo"]
+            if "_BellMrdT" in theta:
+                lin = bell_mod.apply_bell_scalar_T(
+                    bplan, halo, theta["_BellWrdCT"], c
+                ) - bell_mod.apply_bell_scalar_T(
+                    bplan, halo, theta["_BellMrdT"], c_prev
+                )
+            else:
+                lin = bell_mod.apply_bell_scalar(
+                    bplan, halo, theta["_BellWrdC"], c
+                ) - bell_mod.apply_bell_scalar(
+                    bplan, halo, theta["_BellMrd"], c_prev
+                )
+            quad = self.kernels.rd_quad_residual(
+                c, theta["rho"], theta["dt"], conc_max=1.0
+            )
+            return lin + quad - theta["_Bell_rd_load"]
         source = theta["source"]
         if self._source_t is not None:
             source = source + jnp.asarray(

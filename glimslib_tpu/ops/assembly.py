@@ -389,6 +389,20 @@ class P1Kernels:
         )
         return self._scatter_scalar(contrib)
 
+    def rd_quad_residual(self, c, rho, dt, conc_max=1.0):
+        """Only the QUADRATIC logistic term of :meth:`rd_residual`:
+
+          q_i = + dt ρ / c_max ∫ c² φ_i dx
+
+        — the one part of the Fisher-KPP residual that cannot ride the
+        assembled supernode halo-ELL matvecs (ops/bell.py build_bell_mass
+        docstring).  One single-field cell gather + one scatter instead of
+        the full residual's two-field gather and extra element math."""
+        rho = self._cellco(rho)
+        ce = self._gather_T(c)  # (npe, nc)
+        contrib = self.vol * ((dt / conc_max) * rho) * self._cubic_apply(ce)
+        return self._scatter_scalar(contrib)
+
     def rd_mass_stiffness_diag(self, D, rho, dt):
         """Diagonal of (M + dt D K) for Jacobi preconditioning of the
         concentration block (rho unused but kept for interface stability)."""

@@ -286,6 +286,21 @@ def build_bell_rd_const(plan: BellPlan, mesh_arrays, D, rho, dt, m0, dtype,
     return plan.assemble(ent, tables)
 
 
+def build_bell_mass(plan: BellPlan, mesh_arrays, m0, dtype, tables=None):
+    """(nb, s, Kh) values of the P1 mass matrix M_ij = ∫ φi φj
+    (= m0 (1 + δij) vol per cell) — the c_prev operand of the STREAMED
+    rd residual R = W_const c + dtρ/c_max ∫c²φ − M c_prev − load, which
+    replaces the per-cell gather+scatter residual evaluation on the
+    unstructured path (reference weak form simulation_tumor_growth.py:
+    115-120; ~7.3 ms gather eval → ~2 streamed matvecs + the quadratic
+    term at 197k tets)."""
+    g, vol = mesh_arrays
+    npe = g.shape[0]
+    eye = jnp.eye(npe, dtype=dtype)[:, :, None]
+    ent = (jnp.asarray(m0, dtype) * (1.0 + eye)) * vol
+    return plan.assemble(ent, tables)
+
+
 def build_bell_rd_wc(plan: BellPlan, mesh_arrays, cells_T, c, rho, dt, t0,
                      conc_max, dtype, tables=None):
     """(nb, s, Kh) values of the logistic Jacobian correction
@@ -429,14 +444,16 @@ def _to_kernel_layout(A3):
 
 
 def transpose_tables_T(plan: BellPlan, W=None, Wrd=None, Binv=None,
-                       Minv=None, Wc=None):
+                       Minv=None, Wc=None, Mrd=None):
     """One-time (per simulate) relayouts to the batched_matvec_T kernel
     layouts (see :func:`_to_kernel_layout`; applies dispatch on ndim).
 
-    W (nb, s, d, Kh, d) flattens to (nb, s*d, Kh*d); Wrd (nb, s, Kh);
+    W (nb, s, d, Kh, d) flattens to (nb, s*d, Kh*d); Wrd/Mrd (nb, s, Kh);
     Wc (nb, s, d, Kh) -> (nb, s*d, Kh); Binv/Minv (nb, m, m) (self-blocks
     are symmetric, so the two m axes are interchangeable)."""
     out = {}
+    if Mrd is not None:
+        out["_BellMrdT"] = _to_kernel_layout(Mrd)
     if W is not None:
         nb, s, d, Kh, _ = W.shape
         out["_BellWelT"] = _to_kernel_layout(W.reshape(nb, s * d, Kh * d))

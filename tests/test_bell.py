@@ -269,3 +269,42 @@ def test_bell_streaming_el_residual_matches_matrix_free():
     got = np.asarray(sim.el_residual(u, c, aug, t))
     want = np.asarray(sim.el_residual(u, c, theta, t))  # matrix-free
     assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
+
+
+def test_bell_streaming_rd_residual_matches_matrix_free():
+    """The streamed rd residual (W_const c + dtρ/c_max ∫c²φ − M c_prev −
+    load, models/base.py bell branch + ops/bell.py build_bell_mass) equals
+    the matrix-free per-cell Fisher-KPP evaluation on an unstructured
+    mesh (reference weak form simulation_tumor_growth.py:115-120)."""
+    from glimslib_tpu.models.tumor_growth import TumorGrowth
+
+    mesh = _morton(box_mesh((-1, -1, -1), (1, 1, 1), 5, 5, 5))
+
+    class Boundary:
+        def inside(self, x, on_boundary):
+            return on_boundary
+
+    sim = TumorGrowth(mesh)
+    sim.setup_global_parameters(
+        boundaries={"all": Boundary()},
+        dirichlet_bcs={"clamped": {"bc_value": np.zeros(3),
+                                   "named_boundary": "all",
+                                   "subspace_id": 0}},
+    )
+    sim.setup_model_parameters(
+        iv_expression={0: np.zeros(3),
+                       1: lambda x: np.exp(-(x ** 2).sum(axis=1))},
+        diffusion=0.1, coupling=0.2, proliferation=0.1, E=0.01,
+        poisson=0.45, sim_time=2, sim_time_step=1,
+    )
+    theta = sim.make_theta(sim.params.as_dict())
+    aug = sim._augment_theta_with_operators({**theta, **sim.runtime_aux()})
+    assert "_Bell_rd_load" in aug, "streaming rd residual not built"
+    rng = np.random.default_rng(7)
+    c = jnp.asarray(rng.random(mesh.n_nodes), sim.dtype)
+    c_prev = jnp.asarray(rng.random(mesh.n_nodes), sim.dtype)
+    t = jnp.asarray(1.0, sim.dtype)
+
+    got = np.asarray(sim.rd_residual(c, c_prev, aug, t))
+    want = np.asarray(sim.rd_residual(c, c_prev, theta, t))  # matrix-free
+    assert np.allclose(got, want, atol=1e-9), np.abs(got - want).max()
