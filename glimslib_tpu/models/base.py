@@ -522,6 +522,26 @@ class Simulation(ABC):
             )
         return self._twolevel_plan
 
+    @staticmethod
+    def _coarse_k(dim_c):
+        """Spectral-truncation width for the two-level coarse factor
+        (solvers/twolevel.py coarse_inverse).  ``GLIMS_COARSE_K``: ``0``
+        keeps the full factor, an integer pins k, ``auto`` (default)
+        keeps the 3/5 smallest-eigenvalue columns (min 2048).  Measured
+        on the v5e (tools/bench_coarse_trunc.py, bf16 factor): at
+        dim_c=2940 k=2048 holds iters flat (76) and trims the solve
+        89.6->88.1 ms; at dim_c=6744 k=4096 holds iters (88->87) and
+        trims 195.1->184.8 ms — deeper cuts (k=dim_c/3) start paying
+        iterations back, so auto stays at the measured knee."""
+        import os as _os
+
+        v = _os.environ.get("GLIMS_COARSE_K", "auto").strip().lower()
+        if v in ("auto", ""):
+            k = max(2048, (3 * dim_c) // 5)
+            return k if k < dim_c else None
+        k = int(v)
+        return k if 0 < k < dim_c else None
+
     def runtime_aux(self):
         """Runtime operator/preconditioner arrays to pass to ``simulate(...,
         aux=...)`` as a jit ARGUMENT (never close over them: a 182 MB
@@ -566,9 +586,10 @@ class Simulation(ABC):
                 plan, (kern.grads_T, kern.vol), theta0["mu"],
                 theta0["lam"], self.dtype,
             )
-            Ac = tl.build_coarse(agg, jnp.asarray(plan.adj), B, mask_u)
-            Cfac = tl.coarse_inverse(Ac)
             import os as _os
+
+            Ac = tl.build_coarse(agg, jnp.asarray(plan.adj), B, mask_u)
+            Cfac = tl.coarse_inverse(Ac, k=self._coarse_k(Ac.shape[0]))
 
             if self.dtype == jnp.float32 and _os.environ.get(
                 "GLIMS_TWOLEVEL_BF16", "1"
@@ -598,7 +619,7 @@ class Simulation(ABC):
                 Acs = tl.build_coarse_scalar(
                     agg, jnp.asarray(plan.adj), Wrd, mask_c
                 )
-                Cfs = tl.coarse_inverse(Acs)
+                Cfs = tl.coarse_inverse(Acs, k=self._coarse_k(Acs.shape[0]))
                 if self.dtype == jnp.float32 and _os.environ.get(
                     "GLIMS_TWOLEVEL_BF16", "1"
                 ) != "0":
