@@ -760,7 +760,7 @@ class Simulation(ABC):
 
         if fits_el:
 
-            def el_cg(theta, rhs, _mask_u=mask_u_):
+            def el_cg(theta, rhs, _mask_u=mask_u_, rtol=None):
                 Wt = theta.get("_WelT")
                 Binvt = theta.get("_BinvT")
                 if Wt is None:
@@ -776,7 +776,8 @@ class Simulation(ABC):
                     )
                 return pcck.cg_vector(
                     ops.offsets, Wt, Binvt, rhs,
-                    cfg.cg_rtol, cfg.cg_atol, cfg.cg_maxiter, n,
+                    cfg.cg_rtol if rtol is None else rtol,
+                    cfg.cg_atol, cfg.cg_maxiter, n,
                 )
 
         self._stencil_ops = ops
@@ -1206,16 +1207,33 @@ class Simulation(ABC):
             theta = self._augment_theta_with_operators(theta)
 
             warm = getattr(self, "_warm_start_ok", False)
+            # extrapolation order: 2 = linear (default), 3 = quadratic
+            # (GLIMS_WARM_ORDER).  Quadratic carries one more state pair;
+            # early steps degrade gracefully (u_ppp starts at u0, so the
+            # first guesses reduce to the linear/constant ones).
+            import os as _os
+
+            order = int(_os.environ.get("GLIMS_WARM_ORDER", "2")) if warm \
+                else 0
 
             def body(carry, i):
-                u_prev, c_prev, u_pp, c_pp, ok = carry
+                if order >= 3:
+                    u_prev, c_prev, u_pp, c_pp, u_ppp, c_ppp, ok = carry
+                else:
+                    u_prev, c_prev, u_pp, c_pp, ok = carry
                 t = (i + 1.0) * dt
                 if warm:
-                    # linear extrapolation from the two previous states —
-                    # a pure iteration-count saving (anchored tolerances,
+                    # extrapolation from previous states — a pure
+                    # iteration-count saving (anchored tolerances,
                     # solvers/coupled.py); frozen trajectories stay frozen
                     # (u_prev == u_pp after a failed step)
-                    guess = (2.0 * u_prev - u_pp, 2.0 * c_prev - c_pp)
+                    if order >= 3:
+                        guess = (
+                            3.0 * u_prev - 3.0 * u_pp + u_ppp,
+                            3.0 * c_prev - 3.0 * c_pp + c_ppp,
+                        )
+                    else:
+                        guess = (2.0 * u_prev - u_pp, 2.0 * c_prev - c_pp)
                     u, c, conv, n_newton = step(theta, u_prev, c_prev, t,
                                                 guess)
                 else:
@@ -1223,13 +1241,16 @@ class Simulation(ABC):
                 ok_new = jnp.logical_and(ok, conv)
                 u_out = self._shard_nodes(jnp.where(ok_new, u, u_prev), 0)
                 c_out = self._shard_nodes(jnp.where(ok_new, c, c_prev), 0)
-                return (
-                    (u_out, c_out, u_prev, c_prev, ok_new),
-                    (u_out, c_out, ok_new, n_newton),
-                )
+                if order >= 3:
+                    new_carry = (u_out, c_out, u_prev, c_prev, u_pp, c_pp,
+                                 ok_new)
+                else:
+                    new_carry = (u_out, c_out, u_prev, c_prev, ok_new)
+                return new_carry, (u_out, c_out, ok_new, n_newton)
 
-            init = (u0, c0, u0, c0, jnp.asarray(True))
-            (_, _, _, _, ok), traj = jax.lax.scan(
+            init = (u0, c0, u0, c0, u0, c0, jnp.asarray(True)) \
+                if order >= 3 else (u0, c0, u0, c0, jnp.asarray(True))
+            final_carry, traj = jax.lax.scan(
                 body, init, jnp.arange(n_steps, dtype=self.dtype)
             )
             return traj

@@ -66,6 +66,16 @@ class StepConfig(NamedTuple):
     # ~1e-7 accuracy at a few emulated-f64 residual evals per step.
     # Requires jax_enable_x64; no effect when the working dtype is f64.
     refine_f64: bool = False
+    # Relative tolerance of the refinement CORRECTION solve (the f64-defect
+    # elasticity CG under refine_f64).  Classic iterative refinement only
+    # needs the defect reduced a couple of digits per pass: the defect rhs
+    # is already ~cg_rtol of the original load, so re-solving it to
+    # cg_rtol (the pre-round-3 behavior) spends a full CG's iterations to
+    # push the residual ~1e-14 relative — far below the f32 working-dtype
+    # floor that caps the final accuracy anyway.  1e-2 reaches the
+    # refinement fixed point (~kappa * eps_f32^2) in the same single pass
+    # at a fraction of the iterations.  0.0 falls back to cg_rtol.
+    refine_cg_rtol: float = 1e-2
     # Inexact-Newton forcing for the concentration block's INNER CG
     # solves: 0.0 (default) uses cg_rtol; a larger value (e.g. 1e-3)
     # loosens only the c-block linear solves.  Sound because Newton
@@ -377,11 +387,18 @@ def make_step(
             ru2 = resid_u_hi(u, c).astype(u_prev.dtype)
             rhs_u2 = jnp.where(mask_u, 0.0, -ru2)
             if el_cg is not None:
-                du2, _ = el_cg(theta, rhs_u2)
+                try:
+                    du2, _ = el_cg(
+                        theta, rhs_u2,
+                        rtol=cfg.refine_cg_rtol or cfg.cg_rtol,
+                    )
+                except TypeError:  # fused kernels without an rtol knob
+                    du2, _ = el_cg(theta, rhs_u2)
             else:
                 du2, _ = pcg(
                     Au, rhs_u2, M=Mu_solve,
-                    rtol=cfg.cg_rtol, atol=cfg.cg_atol,
+                    rtol=cfg.refine_cg_rtol or cfg.cg_rtol,
+                    atol=cfg.cg_atol,
                     maxiter=cfg.cg_maxiter,
                 )
             u = u + du2
