@@ -54,14 +54,63 @@ import numpy as np
 
 from glimslib_tpu.ops.assembly import make_scatter_plan, pull_accumulate
 
+try:  # jax>=0.6 stable name
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map  # type: ignore
+
+
+def _bmv(plan, A, x):
+    """Batched matvec, per-device under block sharding.
+
+    When ``plan.shard_ctx`` is set (Simulation.use_sharding(mode='bell')),
+    the contraction runs inside ``shard_map`` over the device mesh with
+    both the table and the halo operand partitioned on the supernode-block
+    axis — each device streams only its own table slab (per-device Pallas
+    kernels on hardware, the XLA mul+reduce fallback elsewhere), which is
+    the whole point of the layout: the TABLES are the memory and
+    bandwidth (hundreds of MB at flagship scale), the node vectors are
+    tiny (n*d floats), so the SPMD split puts the block slabs on devices
+    and lets GSPMD re-replicate the small result."""
+    from glimslib_tpu.ops.bell_pallas import batched_matvec
+
+    if plan.shard_ctx is None:
+        return batched_matvec(A, x)
+    mesh, axis = plan.shard_ctx
+    from jax.sharding import PartitionSpec as P
+
+    fn = _shard_map(
+        batched_matvec, mesh=mesh,
+        in_specs=(P(axis), P(axis)), out_specs=P(axis),
+    )
+    return fn(A, x)
+
 
 class BellPlan:
-    """Host-precomputed supernode halo structure for one mesh."""
+    """Host-precomputed supernode halo structure for one mesh.
 
-    def __init__(self, mesh, s: int = 32):
-        cells = np.asarray(mesh.cells, dtype=np.int64)
+    Generic over the dof space: pass a ``mesh`` (P1 — dofs are the mesh
+    nodes) or an explicit ``(conn, n)`` dof connectivity (e.g. the P2
+    ``cell_dofs`` of ops/p2.py — dofs are vertices + edge midpoints, and
+    the same class-split assembly avoids the O(n_dofs * K * multiplicity)
+    naive-ELL tables that would run to GBs at flagship P2 sizes).
+    ``prefix`` namespaces the aux-threaded table keys so two plans (the P1
+    elasticity plan and a P2 concentration plan) can ride one theta."""
+
+    # (device_mesh, axis_name) when the supernode-block axis is sharded
+    # over a device mesh (models/base.py use_sharding(mode='bell'));
+    # None for single-device execution.
+    shard_ctx = None
+
+    def __init__(self, mesh=None, s: int = 32, conn=None, n=None,
+                 prefix: str = "_Bell"):
+        if mesh is not None:
+            cells = np.asarray(mesh.cells, dtype=np.int64)
+            n = mesh.n_nodes
+        else:
+            cells = np.asarray(conn, dtype=np.int64)
+        self.prefix = prefix
         nc, npe = cells.shape
-        n = mesh.n_nodes
         self.n = n
         self.npe = npe
         self.s = s = int(s)
@@ -154,10 +203,11 @@ class BellPlan:
         own = np.where(own < self.n, own, self.n).astype(np.int32)
         return np.concatenate([own, self.ext_ids], axis=1)
 
-    def tables(self, prefix: str = "_Bell"):
+    def tables(self, prefix: str = None):
         """Plan arrays to thread as jit ARGUMENTS (via theta/aux): tens of
         MB at flagship scale — as closure constants they blow the axon
         remote-compile payload limit (HTTP 413)."""
+        prefix = prefix or self.prefix
         return {
             prefix + "DiagPull": jnp.asarray(self.diag_plan.pull_table),
             prefix + "OffPull": jnp.asarray(self.off_plan.pull_table),
@@ -165,11 +215,20 @@ class BellPlan:
             prefix + "Halo": jnp.asarray(self.ext_ids),
         }
 
+    def tables_from_theta(self, theta):
+        """This plan's aux-threaded tables out of a theta dict, or None to
+        fall back to plan constants (small CPU-test meshes)."""
+        if isinstance(theta, dict) and (self.prefix + "Place") in theta:
+            return {self.prefix + k: theta[self.prefix + k] for k in (
+                "DiagPull", "OffPull", "Place", "Halo")}
+        return None
+
     def _tables_or_const(self, tables):
         if tables is None:
             tables = self.tables()
-        return (tables["_BellDiagPull"], tables["_BellOffPull"],
-                tables["_BellPlace"])
+        p = self.prefix
+        return (tables[p + "DiagPull"], tables[p + "OffPull"],
+                tables[p + "Place"])
 
     def assemble(self, entry_values, tables=None):
         """(npe, npe, nc, ...) per-entry values -> (nb, s, Kh, ...).
@@ -197,7 +256,20 @@ class BellPlan:
             vals = jnp.take(both0, place, axis=0)[..., 0]
         else:
             vals = jnp.take(both0, place, axis=0)
-        return vals.reshape((self.nb, self.s, self.Kh) + tail)
+        out = vals.reshape((self.nb, self.s, self.Kh) + tail)
+        if self.shard_ctx is not None:
+            # pin the assembled table to the block-sharded layout: the
+            # placement gather partitions (indices sharded, per-entry
+            # operand replicated — it is O(n), small next to the table)
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh, axis = self.shard_ctx
+            spec = (axis,) + (None,) * (out.ndim - 1)
+            out = _jax.lax.with_sharding_constraint(
+                out, NamedSharding(mesh, P(*spec))
+            )
+        return out
 
 
 def build_bell_elasticity(plan: BellPlan, mesh_arrays, mu, lam, dtype,
@@ -248,13 +320,11 @@ def build_bell_coupling_uc(plan: BellPlan, mesh_arrays, mu, lam, coupling,
 
 def apply_bell_coupling(plan: BellPlan, ext_ids, Wc, c):
     """(n,) concentration -> (n, d) coupling force; Wc (nb, s, d, Kh)."""
-    from glimslib_tpu.ops.bell_pallas import batched_matvec
-
     n = c.shape[0]
     nb, s, Kh = plan.nb, plan.s, plan.Kh
     d = Wc.shape[2]
     xh = _halo_scalar(plan, ext_ids, c)
-    y = batched_matvec(Wc.reshape(nb, s * d, Kh), xh)  # (nb, s*d)
+    y = _bmv(plan, Wc.reshape(nb, s * d, Kh), xh)  # (nb, s*d)
     return y.reshape(nb * s, d)[:n]
 
 
@@ -378,24 +448,21 @@ def apply_bell_vector(plan: BellPlan, ext_ids, W, x):
     """y[i, a] = halo-gather + dense local contraction; W (nb, s, d, Kh, d),
     x (n, d).  The contraction runs as a streamed Pallas batched matvec on
     TPU f32 (ops/bell_pallas.py — XLA leaves the (nb, s*d, Kh*d) product
-    unfused through HBM, ~1.7x the roofline)."""
-    from glimslib_tpu.ops.bell_pallas import batched_matvec
-
+    unfused through HBM, ~1.7x the roofline); per-device under block
+    sharding (see :func:`_bmv`)."""
     n, d = x.shape
     nb, s, Kh = plan.nb, plan.s, plan.Kh
     xh = _halo_vector(plan, ext_ids, x)
-    y = batched_matvec(W.reshape(nb, s * d, Kh * d), xh)  # (nb, s*d)
+    y = _bmv(plan, W.reshape(nb, s * d, Kh * d), xh)  # (nb, s*d)
     return y.reshape(nb * s, d)[:n]
 
 
 def apply_bell_scalar(plan: BellPlan, ext_ids, W, x):
     """Scalar halo-ELL matvec; W (nb, s, Kh), x (n,)."""
-    from glimslib_tpu.ops.bell_pallas import batched_matvec
-
     n = x.shape[0]
     nb, s = plan.nb, plan.s
     xh = _halo_scalar(plan, ext_ids, x)
-    y = batched_matvec(W, xh)  # (nb, s)
+    y = _bmv(plan, W, xh)  # (nb, s)
     return y.reshape(nb * s)[:n]
 
 
@@ -556,16 +623,25 @@ def supernode_jacobi_inverse(plan: BellPlan, B, mask=None):
     B = B * keep[:, :, None] * keep[:, None, :]
     eye = jnp.eye(m, dtype=dtype)[None]
     B = B + eye * fm.astype(dtype)[:, :, None]
+    if plan.shard_ctx is not None:
+        # per-device batched inverse of the local block slab (batched LU
+        # does not partition under plain GSPMD propagation)
+        mesh, axis = plan.shard_ctx
+        from jax.sharding import PartitionSpec as P
+
+        return _shard_map(
+            jnp.linalg.inv, mesh=mesh, in_specs=(P(axis),),
+            out_specs=P(axis),
+        )(B)
     return jnp.linalg.inv(B)
 
 
 def apply_supernode_jacobi(plan: BellPlan, Binv, r):
     """r (n, d) or (n,) -> per-supernode dense solve (streamed Pallas
-    batched matvec on TPU f32, XLA mul+reduce fallback)."""
-    from glimslib_tpu.ops.bell_pallas import batched_matvec
-
+    batched matvec on TPU f32, XLA mul+reduce fallback); per-device under
+    block sharding (see :func:`_bmv`)."""
     nb, m = Binv.shape[0], Binv.shape[1]
     shape = r.shape
     rp = jnp.pad(r.reshape(-1), (0, nb * m - r.reshape(-1).shape[0]))
-    z = batched_matvec(Binv, rp.reshape(nb, m))  # (nb, m)
+    z = _bmv(plan, Binv, rp.reshape(nb, m))  # (nb, m)
     return z.reshape(-1)[: r.reshape(-1).shape[0]].reshape(shape)

@@ -77,10 +77,16 @@ def _bmv_call(B: int, M: int, K: int, g: int, interpret: bool):
     )
 
 
+@jax.custom_vjp
 def batched_matvec(A, x):
     """y[b] = A[b] @ x[b] with A (B, M, K) f32 streamed once through VMEM,
     x (B, K) f32.  Falls back to the XLA mul+reduce when the kernel is
-    gated off or a block does not fit VMEM."""
+    gated off or a block does not fit VMEM.
+
+    custom_vjp: pallas_call has no AD rule, and the IFT adjoint
+    (solvers/coupled.py step_bwd) VJPs the streamed bell residuals — the
+    cotangents are the textbook per-block forms, evaluated as plain XLA
+    streams (dA is one outer-product write, dx one mul+reduce pass)."""
     B, M, K = A.shape
     g = _pick_batch_group(B, M, K)
     use = (
@@ -92,6 +98,20 @@ def batched_matvec(A, x):
     if not use:
         return jnp.sum(A * x[:, None, :], axis=2)
     return _bmv_call(B, M, K, g, _interpret())(A, x)
+
+
+def _bmv_fwd(A, x):
+    return batched_matvec(A, x), (A, x)
+
+
+def _bmv_bwd(saved, ybar):
+    A, x = saved
+    dA = ybar[:, :, None] * x[:, None, :]  # (B, M, K)
+    dx = jnp.sum(A * ybar[:, :, None], axis=1)  # (B, K)
+    return dA.astype(A.dtype), dx.astype(x.dtype)
+
+
+batched_matvec.defvjp(_bmv_fwd, _bmv_bwd)
 
 
 # -- block-axis-on-lanes variant (the fast path) -----------------------------
@@ -235,6 +255,7 @@ def _bmv_T_call(B: int, M: int, K: int, interpret: bool):
     )
 
 
+@jax.custom_vjp
 def batched_matvec_T(AT, xT):
     """y[m, b] = sum_k AT[m, k, b] * xT[k, b] with the table streamed once;
     xT (K, B) f32.  Returns (M, B).  The table layout selects the kernel:
@@ -243,7 +264,10 @@ def batched_matvec_T(AT, xT):
 
     Callers must check :func:`bmv_T_available`/:func:`bmv_C_available`
     (BellPlan pads the block count to a lane-tile multiple at flagship
-    sizes)."""
+    sizes).
+
+    custom_vjp: see :func:`batched_matvec` — the flagship IFT adjoint VJPs
+    the streamed residuals through these kernels."""
     if AT.ndim == 4:
         nbc, M, K, L = AT.shape
         B = nbc * L
@@ -251,3 +275,25 @@ def batched_matvec_T(AT, xT):
         return _bmv_C_call(B, M, K, _interpret())(AT, xc)
     M, K, B = AT.shape
     return _bmv_T_call(B, M, K, _interpret())(AT, xT)
+
+
+def _bmv_T_fwd(AT, xT):
+    return batched_matvec_T(AT, xT), (AT, xT)
+
+
+def _bmv_T_bwd(saved, ybar):
+    AT, xT = saved
+    if AT.ndim == 4:  # chunk-contiguous (nbc, M, K, 128)
+        nbc, M, K, L = AT.shape
+        yc = ybar.reshape(M, nbc, L).swapaxes(0, 1)  # (nbc, M, L)
+        xc = xT.reshape(K, nbc, L).swapaxes(0, 1)  # (nbc, K, L)
+        dAT = yc[:, :, None, :] * xc[:, None, :, :]  # (nbc, M, K, L)
+        dx = jnp.sum(AT * yc[:, :, None, :], axis=1)  # (nbc, K, L)
+        dxT = dx.swapaxes(0, 1).reshape(K, nbc * L)
+        return dAT.astype(AT.dtype), dxT.astype(xT.dtype)
+    dAT = ybar[:, None, :] * xT[None, :, :]  # (M, K, B)
+    dxT = jnp.sum(AT * ybar[:, None, :], axis=0)  # (K, B)
+    return dAT.astype(AT.dtype), dxT.astype(xT.dtype)
+
+
+batched_matvec_T.defvjp(_bmv_T_fwd, _bmv_T_bwd)

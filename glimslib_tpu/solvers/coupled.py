@@ -165,6 +165,19 @@ def make_step(
     the ``pcg`` solves entirely: same linear systems, same stopping rule,
     but the CG loop runs in a single kernel with VMEM-resident vectors."""
     cfg = config
+    # detect the el_cg rtol knob ONCE (advisor r3: a try/except TypeError at
+    # the call site would also swallow genuine TypeErrors raised inside an
+    # rtol-accepting implementation)
+    if el_cg is not None:
+        import inspect
+
+        try:
+            _el_cg_params = inspect.signature(el_cg).parameters
+        except (TypeError, ValueError):  # builtins/partials without sigs
+            _el_cg_params = {}
+        el_cg_has_rtol = "rtol" in _el_cg_params
+    else:
+        el_cg_has_rtol = False
 
     def _op_masked(raw_op, mask):
         def A(v):
@@ -387,12 +400,12 @@ def make_step(
             ru2 = resid_u_hi(u, c).astype(u_prev.dtype)
             rhs_u2 = jnp.where(mask_u, 0.0, -ru2)
             if el_cg is not None:
-                try:
+                if el_cg_has_rtol:
                     du2, _ = el_cg(
                         theta, rhs_u2,
                         rtol=cfg.refine_cg_rtol or cfg.cg_rtol,
                     )
-                except TypeError:  # fused kernels without an rtol knob
+                else:  # fused kernels without an rtol knob
                     du2, _ = el_cg(theta, rhs_u2)
             else:
                 du2, _ = pcg(

@@ -1,0 +1,192 @@
+"""Block-sharded fast operator stack (use_sharding(mode='bell')).
+
+The supernode halo-ELL matvecs, supernode block-Jacobi, and two-level
+affine coarse preconditioner must run with every operator table sharded
+on the supernode-block axis — the multi-chip analogue of the reference's
+mpirun flagship (test_case_simulation_tumor_growth_3D_atlas_mpi.py:32-136)
+with the fast operators engaged (VERDICT r3 #1):
+
+- full-trajectory parity with the single-device bell path to ~1e-12
+  (same element math, same accumulation order; only collective reduce
+  orders may differ);
+- per-device table shards hold nb/ndev blocks (memory scaling);
+- the IFT adjoint gradient matches the single-device gradient.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from glimslib_tpu.core.mesh import Mesh, box_mesh
+from glimslib_tpu.models.tumor_growth_brain import TumorGrowthBrain
+from glimslib_tpu.parallel.shard import make_device_mesh
+
+NDEV = 8
+
+
+class _Boundary:
+    def inside(self, x, on_boundary):
+        return on_boundary
+
+
+def _sim(n=6, monkey_env=None):
+    mesh = box_mesh((0, 0, 0), (10, 10, 10), n, n, n)
+    mesh = Mesh.from_arrays(mesh.points, mesh.cells).reordered_morton()
+    r = np.linalg.norm((mesh.points - 5.0) / 5.0, axis=1)
+    labels = np.zeros(mesh.n_nodes)
+    labels[r < 0.95] = 1
+    labels[r < 0.80] = 2
+    labels[r < 0.62] = 3
+    labels[r < 0.20] = 4
+    sim = TumorGrowthBrain(mesh)
+    sim.setup_global_parameters(
+        label_function=labels,
+        domain_names={0: "outside", 1: "CSF", 2: "GM", 3: "WM",
+                      4: "Ventricles"},
+        boundaries={"boundary_all": _Boundary()},
+        dirichlet_bcs={
+            "clamped": {
+                "bc_value": np.zeros(3),
+                "named_boundary": "boundary_all",
+                "subspace_id": 0,
+            }
+        },
+    )
+    center = np.full(3, 5.0)
+    center[0] += 1.0
+    sim.setup_model_parameters(
+        iv_expression={
+            0: np.zeros(3),
+            1: lambda x: np.exp(-((x - center) ** 2).sum(axis=1) / 0.5),
+        },
+        E_GM=3e3, E_WM=3e3, E_CSF=1e3, E_VENT=1e3,
+        nu_GM=0.45, nu_WM=0.45, nu_CSF=0.45, nu_VENT=0.3,
+        D_GM=0.02, D_WM=0.1, rho_GM=0.02, rho_WM=0.1, coupling=0.15,
+        sim_time=2, sim_time_step=1,
+    )
+    return sim
+
+
+def _run(sim, n_steps=2):
+    theta = sim.make_theta(sim.params.as_dict())
+    iv = sim.params.create_initial_value_function()
+    u0 = jnp.asarray(iv[0], sim.dtype)
+    c0 = jnp.asarray(iv[1], sim.dtype)
+    aux = sim.runtime_aux()
+    f = jax.jit(sim.build_simulate_fn(n_steps, 1.0))
+    return f(theta, u0, c0, aux) if aux else f(theta, u0, c0)
+
+
+@pytest.fixture(scope="module")
+def outputs(request):
+    # engage the two-level coarse preconditioner at test size
+    import os
+
+    old = os.environ.get("GLIMS_TWOLEVEL_MIN_NODES")
+    os.environ["GLIMS_TWOLEVEL_MIN_NODES"] = "100"
+    try:
+        sim_ref = _sim()
+        out_ref = _run(sim_ref)
+
+        sim_sh = _sim()
+        dmesh = make_device_mesh(NDEV)
+        sim_sh.use_sharding(dmesh)
+        assert sim_sh.sharding_mode == "bell"
+        aux = sim_sh.runtime_aux()
+        out_sh = _run(sim_sh)
+        yield sim_ref, out_ref, sim_sh, aux, out_sh
+    finally:
+        if old is None:
+            os.environ.pop("GLIMS_TWOLEVEL_MIN_NODES", None)
+        else:
+            os.environ["GLIMS_TWOLEVEL_MIN_NODES"] = old
+
+
+def test_mode_auto_picks_bell(outputs):
+    _, _, sim_sh, aux, _ = outputs
+    assert sim_sh.sharding_mode == "bell"
+    # the coarse level must actually be in play, not silently dropped
+    assert "_TLCfac" in aux and "_TLCfacS" in aux
+
+
+def test_tables_block_sharded(outputs):
+    """Per-device table memory must scale as nb/ndev (VERDICT r3 #1)."""
+    _, _, sim_sh, aux, _ = outputs
+    nb = sim_sh._get_bell_plan().nb
+    for key in ("_BellHalo",):
+        shards = {s.data.shape[0] for s in aux[key].addressable_shards}
+        assert shards == {nb // NDEV}, (key, shards)
+    place = aux["_BellPlace"]
+    shards = {s.data.shape[0] for s in place.addressable_shards}
+    assert shards == {place.shape[0] // NDEV}
+    # assembled operator planes partition too: check through a jitted
+    # augment (they are built inside simulate)
+    theta = sim_sh.make_theta(sim_sh.params.as_dict())
+
+    def augment(theta, aux):
+        return sim_sh._augment_theta_with_operators({**theta, **aux})
+
+    out = jax.jit(augment)(theta, aux)
+    W = out["_BellWel"]
+    shards = {s.data.shape[0] for s in W.addressable_shards}
+    assert shards == {nb // NDEV}, shards
+    Binv = out["_BinvSN"]
+    shards = {s.data.shape[0] for s in Binv.addressable_shards}
+    assert shards == {nb // NDEV}, shards
+
+
+def test_trajectory_matches_single_device(outputs):
+    _, out_ref, _, _, out_sh = outputs
+    assert bool(np.asarray(out_ref[2]).all())
+    assert bool(np.asarray(out_sh[2]).all())
+    for i, tol in ((0, 1e-12), (1, 1e-12)):
+        a = np.asarray(out_ref[i])
+        b = np.asarray(out_sh[i])
+        assert np.allclose(a, b, atol=tol), np.abs(a - b).max()
+
+
+def test_adjoint_gradient_matches_single_device():
+    """value_and_grad through the sharded bell/two-level stack equals the
+    single-device gradient (IFT adjoint runs the same solves)."""
+    import os
+
+    old = os.environ.get("GLIMS_TWOLEVEL_MIN_NODES")
+    os.environ["GLIMS_TWOLEVEL_MIN_NODES"] = "100"
+    try:
+        from glimslib_tpu.optimize.adjoint import (
+            InverseProblem, param_map_for_type, thresh,
+        )
+
+        def grad_for(shard):
+            sim = _sim()
+            if shard:
+                sim.use_sharding(make_device_mesh(NDEV))
+                assert sim.sharding_mode == "bell"
+            theta = sim.make_theta(sim.params.as_dict())
+            iv = sim.params.create_initial_value_function()
+            u0 = jnp.asarray(iv[0], sim.dtype)
+            c0 = jnp.asarray(iv[1], sim.dtype)
+            aux = sim.runtime_aux()
+            f = jax.jit(sim.build_simulate_fn(2, 1.0))
+            u_traj, c_traj, ok, _ = f(theta, u0, c0, aux)
+            assert bool(np.asarray(ok).all())
+            targets = {
+                "conc_T2": np.asarray(thresh(c_traj[-1], 0.12)),
+                "disp": np.asarray(u_traj[-1]),
+            }
+            names, update = param_map_for_type(2)
+            ip = InverseProblem(sim, names, targets, update_fn=update,
+                                n_steps=2, dt=1.0)
+            return ip.value_and_grad(np.array([0.05, 0.05]))
+
+        J0, g0 = grad_for(False)
+        J1, g1 = grad_for(True)
+        assert np.isfinite(g1).all()
+        np.testing.assert_allclose(J1, J0, rtol=1e-10)
+        np.testing.assert_allclose(g1, g0, rtol=1e-8, atol=1e-14)
+    finally:
+        if old is None:
+            os.environ.pop("GLIMS_TWOLEVEL_MIN_NODES", None)
+        else:
+            os.environ["GLIMS_TWOLEVEL_MIN_NODES"] = old
