@@ -677,9 +677,10 @@ class Simulation(ABC):
             out.update(self._get_bell_plan().tables())
             if self._use_p2_bell():
                 out.update(self._get_p2_plan().tables())
+            out.update(self._snprecond_aux())
         agg = self._twolevel_aggplan()
         if agg is None:
-            return out
+            return self._shard_aux(out)
         if self._twolevel_cache is None:
             import numpy as _np
 
@@ -746,6 +747,76 @@ class Simulation(ABC):
         out.update(self._twolevel_cache)
         return self._shard_aux(out)
 
+    _snprecond_cache = None
+
+    def _snprecond_aux(self):
+        """Frozen supernode block-Jacobi inverses (elasticity + rd, and P2
+        rd when active), built ONCE at the setup-time parameters — the
+        same frozen-preconditioner rationale as the two-level coarse
+        (preconditioners shape iteration counts only, never solutions or
+        IFT gradients).  Hoisting them out of
+        _augment_theta_with_operators removes the batched (nb, s·d, s·d)
+        LU inverses (~41 ms at 197k tets) and their kernel-layout
+        relayouts from every simulate."""
+        if self._snprecond_cache is None:
+            from glimslib_tpu.ops import bell as bell_mod
+
+            try:
+                theta0 = self.make_theta(self.params.as_dict())
+            except Exception:
+                return {}
+            bplan = self._get_bell_plan()
+            kern = self.kernels
+            arrays = (kern.grads_T, kern.vol)
+            mask_u, mask_c, _, _ = self._bc_masks_and_values()
+            use_T = (
+                self.dtype == jnp.float32
+                and self._bellshard is None
+                and bell_mod.bell_T_available(bplan, self.mesh.dim)
+            )
+            cache = {}
+            Wel = bell_mod.build_bell_elasticity(
+                bplan, arrays, theta0["mu"], theta0["lam"], self.dtype
+            )
+            Binv = bell_mod.supernode_jacobi_inverse(
+                bplan, bell_mod.extract_self_blocks_vector(bplan, Wel),
+                mask=mask_u,
+            )
+            if use_T:
+                cache.update(bell_mod.transpose_tables_T(bplan, Binv=Binv))
+            else:
+                cache["_BinvSN"] = Binv
+            if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
+                Wrd = bell_mod.build_bell_rd_const(
+                    bplan, arrays, theta0["D"], theta0["rho"],
+                    theta0["dt"], kern._m0, self.dtype,
+                )
+                Minv = bell_mod.supernode_jacobi_inverse(
+                    bplan, bell_mod.extract_self_blocks_scalar(bplan, Wrd),
+                    mask=mask_c,
+                )
+                if use_T:
+                    cache.update(
+                        bell_mod.transpose_tables_T(bplan, Minv=Minv)
+                    )
+                else:
+                    cache["_McSN"] = Minv
+            elif self._use_p2_bell():
+                from glimslib_tpu.ops import p2_ell
+
+                p2plan = self._get_p2_plan()
+                Wrd2 = p2_ell.build_p2_rd_const(
+                    p2plan, self.p2, theta0["D"], theta0["rho"],
+                    theta0["dt"], self.dtype,
+                )
+                cache["_McSNP2"] = bell_mod.supernode_jacobi_inverse(
+                    p2plan,
+                    bell_mod.extract_self_blocks_scalar(p2plan, Wrd2),
+                    mask=mask_c,
+                )
+            self._snprecond_cache = jax.block_until_ready(cache)
+        return self._snprecond_cache
+
     def _shard_aux(self, out):
         """Under ``mode='bell'`` sharding, commit each aux table to its
         block-sharded device layout (jit then takes these shardings as
@@ -768,6 +839,9 @@ class Simulation(ABC):
             "_TLCfacS": 0,
             "_TLMt": -1,          # (d, q, n_pad) node axis last
             "_TLMtS": -1,         # (qs, n_pad)
+            "_BinvSN": 0,         # (nb, s*d, s*d) frozen supernode blocks
+            "_McSN": 0,           # (nb, s, s)
+            "_McSNP2": 0,
         }
         put = {}
         for k, v in out.items():
@@ -982,14 +1056,44 @@ class Simulation(ABC):
                     and self._bellshard is None
                     and bell_mod.bell_T_available(bplan, self.mesh.dim)
                 )
-                Wel = bell_mod.build_bell_elasticity(
-                    bplan, arrays, theta["mu"], theta["lam"], self.dtype,
-                    tables=tb,
+                degree1 = getattr(self, "CONCENTRATION_DEGREE", 1) == 1
+                want_cuc = (
+                    self._stencil_el_residual_ok()
+                    and degree1
+                    and "coupling" in theta and "body_force" in theta
                 )
-                Binv = bell_mod.supernode_jacobi_inverse(
-                    bplan,
-                    bell_mod.extract_self_blocks_vector(bplan, Wel),
-                    mask=mask_u,
+                want_mrd = degree1 and self._stencil_rd_residual_ok()
+                # ONE fused class-split assembly for every theta-only plane
+                # (bell.assemble_fused): the placement gather's row count
+                # is width-independent, so concatenating the
+                # elasticity/coupling/rd-const/mass tails cuts the
+                # dominant per-simulate assembly cost ~4x (measured
+                # ~51 ms per separate plane at 197k tets)
+                ents = [bell_mod.elasticity_entries(
+                    arrays, theta["mu"], theta["lam"], self.dtype)]
+                if want_cuc:
+                    ents.append(bell_mod.coupling_uc_entries(
+                        arrays, theta["mu"], theta["lam"],
+                        theta["coupling"], self.dtype))
+                if degree1:
+                    ents.append(bell_mod.rd_const_entries(
+                        arrays, theta["D"], theta["rho"], theta["dt"],
+                        kern._m0, self.dtype))
+                if want_mrd:
+                    ents.append(bell_mod.mass_entries(
+                        arrays, kern._m0, self.dtype))
+                planes = bell_mod.assemble_fused(bplan, ents, tables=tb)
+                Wel = jnp.transpose(planes.pop(0), (0, 1, 3, 2, 4))
+                # frozen supernode block-Jacobi rides in via runtime_aux
+                # (_snprecond_aux) — rebuild only when absent (paths
+                # without aux threading, e.g. small CPU tests)
+                have_binv = "_BinvSNT" in theta or "_BinvSN" in theta
+                Binv = None if have_binv else (
+                    bell_mod.supernode_jacobi_inverse(
+                        bplan,
+                        bell_mod.extract_self_blocks_vector(bplan, Wel),
+                        mask=mask_u,
+                    )
                 )
                 if use_T:
                     # block-lanes kernel layout (ops/bell_pallas.py):
@@ -1000,19 +1104,13 @@ class Simulation(ABC):
                     ))
                 else:
                     theta["_BellWel"] = Wel
-                    theta["_BinvSN"] = Binv
-                if (
-                    self._stencil_el_residual_ok()
-                    and getattr(self, "CONCENTRATION_DEGREE", 1) == 1
-                    and "coupling" in theta and "body_force" in theta
-                ):
+                    if Binv is not None:
+                        theta["_BinvSN"] = Binv
+                if want_cuc:
                     # streaming elasticity residual R = A u + C c - load:
                     # replaces the matrix-free per-cell-gather evaluation
                     # (~9.8 ms vs ~2 ms of streamed matvecs at 197k tets)
-                    Wc = bell_mod.build_bell_coupling_uc(
-                        bplan, arrays, theta["mu"], theta["lam"],
-                        theta["coupling"], self.dtype, tables=tb,
-                    )
+                    Wc = jnp.transpose(planes.pop(0), (0, 1, 3, 2))
                     lumped = kern.lumped_mass()
                     theta["_Bell_el_load"] = lumped[:, None] * (
                         jnp.broadcast_to(
@@ -1026,19 +1124,14 @@ class Simulation(ABC):
                         )
                     else:
                         theta["_BellCuc"] = Wc
-                if getattr(self, "CONCENTRATION_DEGREE", 1) == 1:
-                    Wrd = bell_mod.build_bell_rd_const(
-                        bplan, arrays, theta["D"], theta["rho"],
-                        theta["dt"], kern._m0, self.dtype, tables=tb,
-                    )
+                if degree1:
+                    Wrd = planes.pop(0)
                     theta["_BellWrdC"] = Wrd
-                    if self._stencil_rd_residual_ok():
+                    if want_mrd:
                         # streamed rd residual R = W_const c + quad(c)
                         # - M c_prev - load (ops/bell.py build_bell_mass):
                         # replaces the two-field gather+scatter residual
-                        Mrd = bell_mod.build_bell_mass(
-                            bplan, arrays, kern._m0, self.dtype, tables=tb,
-                        )
+                        Mrd = planes.pop(0)
                         zero_c = jnp.zeros(self.mesh.n_nodes, self.dtype)
                         load = kern.rd_residual(
                             zero_c, zero_c, theta["D"], theta["rho"],
@@ -1054,17 +1147,21 @@ class Simulation(ABC):
                     # rd supernode Jacobi from the CONSTANT Jacobian part:
                     # the per-Newton logistic correction is a small SPD
                     # perturbation, so the frozen blocks stay an effective
-                    # (and SPD) preconditioner across the whole solve
-                    Minv = bell_mod.supernode_jacobi_inverse(
-                        bplan,
-                        bell_mod.extract_self_blocks_scalar(bplan, Wrd),
-                        mask=mask_c,
+                    # (and SPD) preconditioner across the whole solve;
+                    # frozen via runtime_aux when threaded (see Binv above)
+                    have_minv = "_McSNT" in theta or "_McSN" in theta
+                    Minv = None if have_minv else (
+                        bell_mod.supernode_jacobi_inverse(
+                            bplan,
+                            bell_mod.extract_self_blocks_scalar(bplan, Wrd),
+                            mask=mask_c,
+                        )
                     )
                     if use_T:
                         theta.update(bell_mod.transpose_tables_T(
                             bplan, Wrd=Wrd, Minv=Minv,
                         ))
-                    else:
+                    elif Minv is not None:
                         theta["_McSN"] = Minv
                 elif self._use_p2_bell():
                     # theta-only P2 rd planes: the constant Jacobian part
@@ -1080,11 +1177,13 @@ class Simulation(ABC):
                         theta["dt"], self.dtype, tables=tbp,
                     )
                     theta["_P2BWrdC"] = Wrd2
-                    theta["_McSNP2"] = bell_mod.supernode_jacobi_inverse(
-                        p2plan,
-                        bell_mod.extract_self_blocks_scalar(p2plan, Wrd2),
-                        mask=mask_c,
-                    )
+                    if "_McSNP2" not in theta:
+                        theta["_McSNP2"] = bell_mod.supernode_jacobi_inverse(
+                            p2plan,
+                            bell_mod.extract_self_blocks_scalar(
+                                p2plan, Wrd2),
+                            mask=mask_c,
+                        )
             elif self._ell_builders()[1] is not None:
                 from glimslib_tpu.ops import ell as ell_mod
 

@@ -389,6 +389,22 @@ class P1Kernels:
         )
         return self._scatter_scalar(contrib)
 
+    @property
+    def _quad_pull_cells(self):
+        """(n, K) CELL index per incident slot (sentinel nc): the per-cell
+        view of the entry pull table — entries are npe-major, so
+        cell = entry % nc (sentinel npe*nc maps to the pad row nc)."""
+        if not hasattr(self, "_quad_pull_cells_cache"):
+            pt = np.asarray(self.plan.pull_table, dtype=np.int64)
+            nc = self.n_cells
+            # cache NUMPY, convert per call: a jnp constant created during
+            # one jit trace is a tracer there — caching it leaks it into
+            # later traces (UnexpectedTracerError)
+            self._quad_pull_cells_cache = np.where(
+                pt == self.plan.n_entries, nc, pt % nc
+            ).astype(np.int32)
+        return jnp.asarray(self._quad_pull_cells_cache)
+
     def rd_quad_residual(self, c, rho, dt, conc_max=1.0):
         """Only the QUADRATIC logistic term of :meth:`rd_residual`:
 
@@ -396,12 +412,29 @@ class P1Kernels:
 
         — the one part of the Fisher-KPP residual that cannot ride the
         assembled supernode halo-ELL matvecs (ops/bell.py build_bell_mass
-        docstring).  One single-field cell gather + one scatter instead of
-        the full residual's two-field gather and extra element math."""
+        docstring).
+
+        Factored pull (measured 7.9 -> ~4 ms at 197k tets): the per-entry
+        contribution vol ρ t0 (S² + Q + 2 c_i (S + c_i)) splits into
+        per-CELL scalars [ρ vol (S²+Q), ρ vol S, ρ vol] pulled once as
+        width-3 rows, with the c_i-dependent factors applied per NODE
+        after the reduction — q_i = (dt t0/c_max)(A_i + 2 c_i (B_i +
+        c_i C_i)).  Exactly the same sum, re-associated; the pull operand
+        shrinks from (npe·nc) entry rows to (nc, 3) packed cell rows."""
         rho = self._cellco(rho)
         ce = self._gather_T(c)  # (npe, nc)
-        contrib = self.vol * ((dt / conc_max) * rho) * self._cubic_apply(ce)
-        return self._scatter_scalar(contrib)
+        S = jnp.sum(ce, axis=0)
+        Q = jnp.sum(ce * ce, axis=0)
+        rv = rho * self.vol
+        pack = jnp.stack([rv * (S * S + Q), rv * S, rv], axis=-1)  # (nc, 3)
+        packp = jnp.pad(pack, ((0, 1), (0, 0)))
+        pulled = jnp.take(packp, self._quad_pull_cells.ravel(), axis=0)
+        agg = jnp.sum(
+            pulled.reshape(self.n_nodes, -1, 3), axis=1
+        )  # (n, 3)
+        return (dt / conc_max) * self._t0 * (
+            agg[:, 0] + 2.0 * c * (agg[:, 1] + c * agg[:, 2])
+        )
 
     def rd_mass_stiffness_diag(self, D, rho, dt):
         """Diagonal of (M + dt D K) for Jacobi preconditioning of the

@@ -272,10 +272,8 @@ class BellPlan:
         return out
 
 
-def build_bell_elasticity(plan: BellPlan, mesh_arrays, mu, lam, dtype,
-                          tables=None):
-    """Supernode halo-ELL values of the elasticity stiffness operator,
-    laid out (nb, s, d, Kh, d) for the full-lane contraction (entry
+def elasticity_entries(mesh_arrays, mu, lam, dtype):
+    """(npe, npe, nc, d, d) per-entry elasticity stiffness values (entry
     formulas as ops/ell.py build_ell_elasticity, reference forms
     simulation_tumor_growth.py:110-113)."""
     g, vol = mesh_arrays  # (npe, d, nc), (nc,)
@@ -288,9 +286,42 @@ def build_bell_elasticity(plan: BellPlan, mesh_arrays, mu, lam, dtype,
     term2 = gg[:, :, None, None, :] * eye[None, None, :, :, None]
     term3 = g[None, :, None, :, :] * g[:, None, :, None, :]
     ent = vol * (mu * (term1 + term2) + lam * term3)  # (i, j, a, b, nc)
-    ent = jnp.moveaxis(ent, -1, 2)  # (i, j, nc, a, b)
-    W = plan.assemble(ent, tables)  # (nb, s, Kh, d, d)
+    return jnp.moveaxis(ent, -1, 2)  # (i, j, nc, a, b)
+
+
+def build_bell_elasticity(plan: BellPlan, mesh_arrays, mu, lam, dtype,
+                          tables=None):
+    """Supernode halo-ELL values of the elasticity stiffness operator,
+    laid out (nb, s, d, Kh, d) for the full-lane contraction."""
+    W = plan.assemble(
+        elasticity_entries(mesh_arrays, mu, lam, dtype), tables
+    )  # (nb, s, Kh, d, d)
     return jnp.transpose(W, (0, 1, 3, 2, 4))  # (nb, s, d, Kh, d)
+
+
+def assemble_fused(plan: BellPlan, ents, tables=None):
+    """Assemble SEVERAL operator planes through ONE class-split pull +
+    placement gather.
+
+    The placement gather dominates theta-plane assembly (nb*s*Kh dense
+    slots, ~5.8M gather rows at 197k tets, ~15 ms each at the measured
+    ~0.4 Grow/s) and its row count is independent of the value width —
+    row-gathers are flat in width on the v5e (CLAUDE.md perf model).
+    Fusing the elasticity/coupling/rd-const/mass builds into one gather of
+    concatenated-tail rows cuts the per-simulate assembly cost ~4x.
+
+    ``ents``: list of (npe, npe, nc) + tail entry tensors.  Returns the
+    per-plane (nb, s, Kh) + tail tables in order."""
+    shapes = [e.shape[3:] for e in ents]
+    widths = [int(np.prod(t)) if t else 1 for t in shapes]
+    flat = [e.reshape(e.shape[:3] + (w,)) for e, w in zip(ents, widths)]
+    cat = flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=3)
+    W = plan.assemble(cat, tables)  # (nb, s, Kh, sum(widths))
+    outs, o = [], 0
+    for t, w in zip(shapes, widths):
+        outs.append(W[..., o:o + w].reshape(W.shape[:3] + t))
+        o += w
+    return outs
 
 
 def build_bell_coupling_uc(plan: BellPlan, mesh_arrays, mu, lam, coupling,
@@ -304,6 +335,15 @@ def build_bell_coupling_uc(plan: BellPlan, mesh_arrays, mu, lam, coupling,
     Per cell, the contribution to (node i, comp a) is
     -coupling (2μ + d λ) (vol/(d+1)) g[i, a] · Σ_j c_j — independent of j,
     so ent[i, j, a] = -coupling (2μ + dλ) (vol/(d+1)) g[i, a]."""
+    W = plan.assemble(
+        coupling_uc_entries(mesh_arrays, mu, lam, coupling, dtype), tables
+    )  # (nb, s, Kh, d)
+    return jnp.transpose(W, (0, 1, 3, 2))  # (nb, s, d, Kh)
+
+
+def coupling_uc_entries(mesh_arrays, mu, lam, coupling, dtype):
+    """(npe, npe, nc, d) per-entry growth-coupling values (see
+    :func:`build_bell_coupling_uc`)."""
     g, vol = mesh_arrays  # (npe, d, nc), (nc,)
     npe, d = g.shape[0], g.shape[1]
     mu = jnp.asarray(mu, dtype)
@@ -313,9 +353,7 @@ def build_bell_coupling_uc(plan: BellPlan, mesh_arrays, mu, lam, coupling,
     ent = jnp.broadcast_to(
         (-kfac * g)[:, None], (npe, npe, d, g.shape[2])
     )  # (i, j, a, nc)
-    ent = jnp.moveaxis(ent, -1, 2)  # (i, j, nc, a)
-    W = plan.assemble(ent, tables)  # (nb, s, Kh, d)
-    return jnp.transpose(W, (0, 1, 3, 2))  # (nb, s, d, Kh)
+    return jnp.moveaxis(ent, -1, 2)  # (i, j, nc, a)
 
 
 def apply_bell_coupling(plan: BellPlan, ext_ids, Wc, c):
@@ -341,9 +379,8 @@ def apply_bell_coupling_T(plan: BellPlan, ext_ids, WcT, c):
     return y.T.reshape(nb * s, d)[:n]
 
 
-def build_bell_rd_const(plan: BellPlan, mesh_arrays, D, rho, dt, m0, dtype,
-                        tables=None):
-    """(nb, s, Kh) values of M + dt D K - dt rho M (ops/ell.py
+def rd_const_entries(mesh_arrays, D, rho, dt, m0, dtype):
+    """(npe, npe, nc) entries of M + dt D K - dt rho M (ops/ell.py
     build_ell_rd_const formulas)."""
     g, vol = mesh_arrays
     npe = g.shape[0]
@@ -352,8 +389,23 @@ def build_bell_rd_const(plan: BellPlan, mesh_arrays, D, rho, dt, m0, dtype,
     gg = jnp.sum(g[:, None, :, :] * g[None, :, :, :], axis=2)
     eye = jnp.eye(npe, dtype=dtype)[:, :, None]
     M = m0 * (1.0 + eye) * vol
-    ent = M + (dt * D) * (vol * gg) - (dt * rho) * M
-    return plan.assemble(ent, tables)
+    return M + (dt * D) * (vol * gg) - (dt * rho) * M
+
+
+def build_bell_rd_const(plan: BellPlan, mesh_arrays, D, rho, dt, m0, dtype,
+                        tables=None):
+    """(nb, s, Kh) values of M + dt D K - dt rho M."""
+    return plan.assemble(
+        rd_const_entries(mesh_arrays, D, rho, dt, m0, dtype), tables
+    )
+
+
+def mass_entries(mesh_arrays, m0, dtype):
+    """(npe, npe, nc) P1 mass entries m0 (1 + δij) vol."""
+    g, vol = mesh_arrays
+    npe = g.shape[0]
+    eye = jnp.eye(npe, dtype=dtype)[:, :, None]
+    return (jnp.asarray(m0, dtype) * (1.0 + eye)) * vol
 
 
 def build_bell_mass(plan: BellPlan, mesh_arrays, m0, dtype, tables=None):
@@ -364,11 +416,7 @@ def build_bell_mass(plan: BellPlan, mesh_arrays, m0, dtype, tables=None):
     unstructured path (reference weak form simulation_tumor_growth.py:
     115-120; ~7.3 ms gather eval → ~2 streamed matvecs + the quadratic
     term at 197k tets)."""
-    g, vol = mesh_arrays
-    npe = g.shape[0]
-    eye = jnp.eye(npe, dtype=dtype)[:, :, None]
-    ent = (jnp.asarray(m0, dtype) * (1.0 + eye)) * vol
-    return plan.assemble(ent, tables)
+    return plan.assemble(mass_entries(mesh_arrays, m0, dtype), tables)
 
 
 def build_bell_rd_wc(plan: BellPlan, mesh_arrays, cells_T, c, rho, dt, t0,

@@ -193,18 +193,20 @@ def test_p2_l2_projection_parity():
 
 def test_p2_forward_parity_unstructured(tmp_path):
     """Quad model on an unstructured (lattice-stripped, RCM-reordered)
-    mesh: the P1 elasticity block rides the assembled block-ELL operator
-    (ops/ell.py) while the P2 concentration stays matrix-free — forward
-    parity vs the scipy P2 FEM must hold regardless of operator mode."""
+    mesh: the P1 elasticity block rides the assembled bell/ELL operator
+    and (since round 4) the P2 concentration Jacobian is assembled too
+    (ops/p2_ell.py) — forward parity vs the scipy P2 FEM must hold
+    regardless of operator mode."""
     from glimslib_tpu.core.mesh import Mesh
 
     m0 = box_mesh((0, 0, 0), (10, 10, 10), 4, 4, 4)
     mesh = Mesh.from_arrays(m0.points, m0.cells).reordered_rcm()
     assert mesh.lattice_strides is None
     sim = _build_quad_sim(mesh)
-    # the ELL elasticity operator must actually be in play
+    # the assembled operators must actually be in play
     rd_j, el_op = sim._ell_builders()
-    assert el_op is not None and rd_j is None  # P2 rd stays matrix-free
+    assert el_op is not None
+    assert rd_j is not None  # assembled P2 rd Jacobian (VERDICT r3 #6)
     sim.run(save_method=None, plot=False, output_dir=str(tmp_path))
     u_ref, c_ref = _reference_run(sim, mesh, 3)
     c = np.asarray(sim.solution[1])
