@@ -1467,6 +1467,27 @@ class Simulation(ABC):
             rd_jacobian_chord=self._rd_jacobian_chord,
         )
 
+    def _streamed_mass_action(self, theta):
+        """callable v -> M v via the streamed bell mass plane when the
+        augmented theta carries it, else None (feeds the algebraic rd
+        anchor in :meth:`build_simulate_fn`)."""
+        if not isinstance(theta, dict):
+            return None
+        if "_BellMrdT" not in theta and "_BellMrd" not in theta:
+            return None
+        from glimslib_tpu.ops import bell as bell_mod
+
+        bplan = self._get_bell_plan()
+        tb = self._bell_tables_from(theta)
+        halo = (tb or bplan.tables())["_BellHalo"]
+        if "_BellMrdT" in theta:
+            MrdT = theta["_BellMrdT"]
+            return lambda v: bell_mod.apply_bell_scalar_T(
+                bplan, halo, MrdT, v
+            )
+        Mrd = theta["_BellMrd"]
+        return lambda v: bell_mod.apply_bell_scalar(bplan, halo, Mrd, v)
+
     def build_simulate_fn(self, n_steps: int, dt: float):
         """Pure jittable function: (theta, u0, c0[, aux]) -> trajectory.
 
@@ -1489,6 +1510,21 @@ class Simulation(ABC):
         import os as _os
 
         warm_order = int(_os.environ.get("GLIMS_WARM_ORDER", "2"))
+        alg_anchor_enabled = _os.environ.get("GLIMS_ALG_ANCHOR", "1") != "0"
+
+        # the algebraic anchor (see solvers/coupled.py _solve_forward
+        # anchor_c) is exact only when the concentration clamp values are
+        # step-invariant: gate on NO concentration Dirichlet BCs (unused-
+        # node rows clamp to the constant 0)
+        no_c_dirichlet = not any(
+            bc.subspace_id == self.SUBSPACE_CONCENTRATION
+            for bc in getattr(getattr(self, "bcs", None), "dirichlet_bcs",
+                              [])
+        )
+        mask_c_anchor = None
+        gc_anchor = None
+        if no_c_dirichlet:
+            _, mask_c_anchor, _, gc_anchor = self._bc_masks_and_values()
 
         def simulate(theta, u0, c0, aux=None):
             if aux:
@@ -1503,8 +1539,30 @@ class Simulation(ABC):
             # degrade gracefully (u_ppp starts at u0, so the first guesses
             # reduce to the linear/constant ones)
             order = warm_order if warm else 0
+            # algebraic rd anchor: ||r_c(c_prev)|| carried across steps as
+            # ||M (c_k - c_{k-1})|| (one streamed mass matvec) instead of
+            # a full residual evaluation per step — exact up to the
+            # previous step's converged-residual epsilon
+            mass_fn = (
+                self._streamed_mass_action(theta)
+                if (warm and no_c_dirichlet and alg_anchor_enabled)
+                else None
+            )
+            use_anchor = mass_fn is not None
+            if use_anchor:
+                # step-1 anchor: the exact ||r_c(c0)|| (once, outside the
+                # scan), with c0 clamped like the step does
+                t1 = jnp.asarray(dt, self.dtype)
+                c0a = jnp.where(mask_c_anchor, gc_anchor(t1), c0)
+                r0a = jnp.where(
+                    mask_c_anchor, 0.0,
+                    self.rd_residual(c0a, c0a, theta, t1),
+                )
+                anchor0 = jnp.sqrt(jnp.sum(r0a * r0a))
 
             def body(carry, i):
+                if use_anchor:
+                    *carry, anchor = carry
                 if order >= 3:
                     u_prev, c_prev, u_pp, c_pp, u_ppp, c_ppp, ok = carry
                 else:
@@ -1525,8 +1583,12 @@ class Simulation(ABC):
                         )
                     else:
                         guess = (2.0 * u_prev - u_pp, 2.0 * c_prev - c_pp)
-                    u, c, conv, n_newton = step(theta, u_prev, c_prev, t,
-                                                guess)
+                    if use_anchor:
+                        u, c, conv, n_newton = step(theta, u_prev, c_prev,
+                                                    t, guess, anchor)
+                    else:
+                        u, c, conv, n_newton = step(theta, u_prev, c_prev,
+                                                    t, guess)
                 else:
                     u, c, conv, n_newton = step(theta, u_prev, c_prev, t)
                 ok_new = jnp.logical_and(ok, conv)
@@ -1546,10 +1608,23 @@ class Simulation(ABC):
                     )
                 else:
                     new_carry = (u_out, c_out, u_prev, c_prev, ok_new)
+                if use_anchor:
+                    # next step's ||r_c(c_out)|| = ||r_final - M dc|| with
+                    # ||r_final|| <= ftol (negligible); frozen steps keep
+                    # the previous anchor
+                    mdc = jnp.where(
+                        mask_c_anchor, 0.0, mass_fn(c_out - c_prev)
+                    )
+                    anchor_new = jnp.sqrt(jnp.sum(mdc * mdc))
+                    new_carry = new_carry + (
+                        jnp.where(ok_new, anchor_new, anchor),
+                    )
                 return new_carry, (u_out, c_out, ok_new, n_newton)
 
             init = (u0, c0, u0, c0, u0, c0, jnp.asarray(True)) \
                 if order >= 3 else (u0, c0, u0, c0, jnp.asarray(True))
+            if use_anchor:
+                init = init + (anchor0,)
             final_carry, traj = jax.lax.scan(
                 body, init, jnp.arange(n_steps, dtype=self.dtype)
             )

@@ -185,12 +185,20 @@ def make_step(
 
         return A
 
-    def _solve_forward(theta, u_prev, c_prev, t, guess=None):
+    def _solve_forward(theta, u_prev, c_prev, t, guess=None, anchor_c=None):
         gc = bc_values_c(t)
         gu = bc_values_u(t)
         # warm starts only where pcg owns the stopping rule (the fused
         # whole-solve kernels would measure rtol against the warm rhs)
         warm = guess is not None and el_cg is None and rd_cg is None
+        # ``anchor_c``: the caller-supplied ||r_c(c_prev)|| (the scan body
+        # computes it ALGEBRAICALLY from the previous step — R(c, c) =
+        # r_final - M (c - c_prev_old), with ||r_final|| <= ftol_prev a
+        # negligible perturbation of an order-of-magnitude tolerance — at
+        # the cost of one streamed mass matvec instead of a full residual
+        # evaluation, ~4.8 ms at 197k tets).  Only meaningful with warm
+        # starts (the unwarm path needs the r0 VECTOR anyway).
+        use_anchor_c = warm and anchor_c is not None
 
         # mixed-precision refinement: f64 residual evaluation around the
         # f32 inner solves (static switch; no-op when x64 is unavailable
@@ -252,8 +260,11 @@ def make_step(
         else:
             lmax_c = None
 
-        r0 = resid_c_eval(c0)
-        f0 = jnp.sqrt(jnp.sum(r0 * r0))
+        if use_anchor_c:
+            f0 = jnp.asarray(anchor_c, c_prev.dtype)
+        else:
+            r0 = resid_c_eval(c0)
+            f0 = jnp.sqrt(jnp.sum(r0 * r0))
         ftol = jnp.maximum(cfg.newton_rtol * f0, cfg.newton_atol)
         if warm:
             # start Newton at the extrapolated guess; ftol stays anchored
@@ -523,9 +534,31 @@ def make_step(
 
     step_warm.defvjp(step_warm_fwd, step_warm_bwd)
 
-    def step_api(theta, u_prev, c_prev, t, guess=None):
+    @jax.custom_vjp
+    def step_warm_anchored(theta, u_prev, c_prev, t, guess, anchor_c):
+        return _solve_forward(theta, u_prev, c_prev, t, guess, anchor_c)
+
+    def step_warm_anchored_fwd(theta, u_prev, c_prev, t, guess, anchor_c):
+        out = _solve_forward(theta, u_prev, c_prev, t, guess, anchor_c)
+        u, c, conv, k = out
+        return out, (theta, u_prev, c_prev, t, u, c)
+
+    def step_warm_anchored_bwd(saved, cot):
+        # identical IFT adjoint; neither the guess nor the anchored
+        # tolerance changes the converged state, so their cotangents are
+        # exactly zero
+        theta_bar, u_prev_bar, c_prev_bar, _ = step_bwd(saved, cot)
+        return (theta_bar, u_prev_bar, c_prev_bar, None,
+                (jnp.zeros_like(u_prev_bar), jnp.zeros_like(c_prev_bar)),
+                jnp.zeros((), c_prev_bar.dtype))
+
+    step_warm_anchored.defvjp(step_warm_anchored_fwd, step_warm_anchored_bwd)
+
+    def step_api(theta, u_prev, c_prev, t, guess=None, anchor_c=None):
         if guess is None:
             return step(theta, u_prev, c_prev, t)
-        return step_warm(theta, u_prev, c_prev, t, guess)
+        if anchor_c is None:
+            return step_warm(theta, u_prev, c_prev, t, guess)
+        return step_warm_anchored(theta, u_prev, c_prev, t, guess, anchor_c)
 
     return step_api

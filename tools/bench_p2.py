@@ -102,8 +102,23 @@ def main():
     p2 = run(P2Model, "P2 assembled")
     os.environ["GLIMS_P2BELL"] = "0"
     p2mf = run(P2Model, "P2 matrix-free")
-    print(f"ratio P1/P2-assembled: {p1 / p2:.2f}x  "
-          f"(target <= ~3x); matrix-free was {p1 / p2mf:.2f}x")
+    print(f"ratio P1/P2-assembled: {p1 / p2:.2f}x; "
+          f"matrix-free was {p1 / p2mf:.2f}x")
+    # the honest normalization: P2 carries (n_nodes + n_edges) ~ 7.3x the
+    # concentration dofs of P1 on the same mesh, so equal-WORK throughput
+    # differs from equal-MESH throughput by that factor
+    n_p1 = mesh.n_nodes
+    n_p2 = None
+    try:
+        from glimslib_tpu.ops.p2 import P2Kernels
+
+        n_p2 = P2Kernels(mesh).n_dofs
+    except Exception:
+        pass
+    if n_p2:
+        per_dof = (p1 * n_p1) / (p2 * n_p2)
+        print(f"per-concentration-dof ratio P1/P2-assembled: {per_dof:.2f}x "
+              f"({n_p2} P2 dofs vs {n_p1} P1 dofs)")
 
 
 if __name__ == "__main__":
