@@ -92,3 +92,18 @@ def _run_cold(monkeypatch, unstructured):
 
     monkeypatch.setattr(base_mod.Simulation, "_build_step", no_warm)
     return _run(monkeypatch, None, unstructured)
+
+
+@pytest.mark.parametrize("unstructured", [True])
+def test_algebraic_anchor_matches_exact(monkeypatch, unstructured):
+    """The algebraic rd anchor (||M dc|| carried across steps,
+    solvers/coupled.py anchor_c; saves a full residual evaluation per
+    step) must reproduce the exact-anchor trajectory: the anchor only
+    scales an order-of-magnitude tolerance, and the algebra
+    R(c,c) = r_final - M dc is exact up to ||r_final|| <= ftol_prev."""
+    monkeypatch.setenv("GLIMS_ALG_ANCHOR", "1")
+    ua, ca = _run(monkeypatch, 2, unstructured)
+    monkeypatch.setenv("GLIMS_ALG_ANCHOR", "0")
+    ue, ce = _run(monkeypatch, 2, unstructured)
+    assert np.abs(ua - ue).max() < 5e-12
+    assert np.abs(ca - ce).max() < 5e-12
