@@ -1168,15 +1168,44 @@ class Simulation(ABC):
                     # and its supernode block-Jacobi inverse (the logistic
                     # shift is a small SPD perturbation — same freeze
                     # rationale as _McSN)
+                    import os as _os2
+
                     from glimslib_tpu.ops import p2_ell
 
                     p2plan = self._get_p2_plan()
                     tbp = p2plan.tables_from_theta(theta)
-                    Wrd2 = p2_ell.build_p2_rd_const(
-                        p2plan, self.p2, theta["D"], theta["rho"],
-                        theta["dt"], self.dtype, tables=tbp,
+                    # default OFF: measured 4.18 vs 4.51 steps/s at
+                    # n=16 on the v5e — the quadrature residual is not
+                    # the quad model's bottleneck and the factored cubic
+                    # (npe fma passes over (nc, npe^2)) costs about as
+                    # much; kept as gated infrastructure (parity test
+                    # tests/test_p2_ell.py)
+                    p2_stream = (
+                        self._stencil_rd_residual_ok()
+                        and _os2.environ.get("GLIMS_P2STREAM", "0") == "1"
                     )
+                    ents2 = [p2_ell._const_entries(
+                        self.p2, theta["D"], theta["rho"], theta["dt"],
+                        self.dtype)]
+                    if p2_stream:
+                        ents2.append(p2_ell.p2_mass_entries(
+                            self.p2, self.dtype))
+                    planes2 = bell_mod.assemble_fused(
+                        p2plan, ents2, tables=tbp
+                    )
+                    Wrd2 = planes2.pop(0)
                     theta["_P2BWrdC"] = Wrd2
+                    if p2_stream:
+                        # streamed P2 rd residual R = W_const c + cubic(c)
+                        # - M c_prev - load: replaces the per-Newton
+                        # quadrature gather+scatter evaluation
+                        theta["_P2BMrd"] = planes2.pop(0)
+                        zero_c = jnp.zeros(self.p2.n_dofs, self.dtype)
+                        load2 = self.p2.rd_residual(
+                            zero_c, zero_c, theta["D"], theta["rho"],
+                            theta["dt"], source=theta["source"],
+                        )
+                        theta["_P2B_rd_load"] = -load2  # r(0) = -dt s v
                     if "_McSNP2" not in theta:
                         theta["_McSNP2"] = bell_mod.supernode_jacobi_inverse(
                             p2plan,

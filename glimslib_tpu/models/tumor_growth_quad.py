@@ -34,6 +34,29 @@ class TumorGrowth(_TumorGrowthP1):
     # -- residuals over the P2 concentration space ---------------------------
 
     def rd_residual(self, c, c_prev, theta, t):
+        if isinstance(theta, dict) and "_P2B_rd_load" in theta:
+            # streamed form on the P2 supernode halo-ELL path (round 4,
+            # ops/p2_ell.py): R = W_const c + dtρ/c_max ∫c²φ − M c_prev
+            # − load — two assembled matvecs + the factored cubic term
+            # replace the per-evaluation quadrature gather+scatter; the
+            # SAME degree-6 rule, re-associated, so values match
+            # P2Kernels.rd_residual to round-off
+            from glimslib_tpu.ops import bell as bell_mod
+            from glimslib_tpu.ops import p2_ell
+
+            plan = self._get_p2_plan()
+            tb = plan.tables_from_theta(theta)
+            halo = (tb or plan.tables())[plan.prefix + "Halo"]
+            lin = bell_mod.apply_bell_scalar(
+                plan, halo, theta["_P2BWrdC"], c
+            ) - bell_mod.apply_bell_scalar(
+                plan, halo, theta["_P2BMrd"], c_prev
+            )
+            quad = p2_ell.p2_cubic_residual(
+                plan, self.p2, c, theta["rho"], theta["dt"], 1.0,
+                self.dtype, tables=tb,
+            )
+            return lin + quad - theta["_P2B_rd_load"]
         r = self.p2.rd_residual(
             c, c_prev, theta["D"], theta["rho"], theta["dt"],
             source=theta["source"], conc_max=1.0,

@@ -132,6 +132,41 @@ def build_p2_rd_wc(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
     return plan.assemble(ent, tables)
 
 
+def p2_mass_entries(p2k, dtype):
+    """(npe, npe, nc) P2 consistent-mass entries det_e * M0[i, j]."""
+    M0_, _, _ = p2_ref_tensors(p2k.dim)
+    M0 = jnp.asarray(M0_, dtype)
+    _, det = _geom(p2k, dtype)
+    return M0[:, :, None] * det[None, None, :]
+
+
+def p2_cubic_residual(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
+                      tables=None):
+    """(n_dofs,) quadratic logistic residual term
+    q_i = + dt ρ / c_max ∫ c² φ_i dx for P2 c, by the factored reference
+    tensor: q^e_i = det_e Σ_jk c_j c_k C[i,j,k] with C = Σ_q w φφφ (the
+    SAME degree-6 rule as P2Kernels.rd_residual, so the streamed residual
+    equals the quadrature evaluation to round-off).  Accumulated per dof
+    through the plan's diag pull; the contraction runs as npe chunked
+    (nc, npe) fma passes (never einsum — CLAUDE.md)."""
+    _, _, C_ = p2_ref_tensors(p2k.dim)
+    C = jnp.asarray(C_, dtype)  # (i, j, k)
+    nc, npe = p2k.n_cells, p2k.npe
+    _, det = _geom(p2k, dtype)
+    rho = jnp.broadcast_to(jnp.asarray(rho, dtype), (nc,))
+    ce = p2k.gather(jnp.asarray(c, dtype))  # (nc, npe)
+    q = jnp.zeros((nc, npe), dtype)
+    for k in range(npe):
+        Bk = jnp.sum(C[None, :, :, k] * ce[:, None, :], axis=2)  # (nc, i)
+        q = q + Bk * ce[:, k][:, None]
+    contrib = ((dt / conc_max) * rho * det)[:, None] * q  # (nc, i)
+    diag_pull = (
+        tables[plan.prefix + "DiagPull"] if tables is not None
+        else jnp.asarray(plan.diag_plan.pull_table)
+    )
+    return pull_accumulate(diag_pull.ravel(), plan.n, contrib.T.ravel())
+
+
 def build_p2_rd_wc_lumped(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
                           tables=None):
     """(n_dofs,) LUMPED logistic correction: row sums of

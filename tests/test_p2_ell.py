@@ -131,3 +131,34 @@ def test_quad_model_routes_assembled(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_a[0]), np.asarray(out_b[0]), atol=5e-8
     )
+
+
+def test_streamed_p2_residual_matches_quadrature(setup):
+    """The streamed P2 rd residual (W_const c + factored cubic − M c_prev
+    − load, models/tumor_growth_quad.py) must equal the quadrature
+    evaluation to round-off: identical degree-6 sums, re-associated."""
+    mesh, p2k, plan = setup
+    rng = np.random.default_rng(11)
+    c = jnp.asarray(rng.random(p2k.n_dofs))
+    cp = jnp.asarray(rng.random(p2k.n_dofs))
+    D = jnp.asarray(0.05 + 0.02 * np.asarray(mesh.cell_midpoints)[:, 0])
+    rho = jnp.asarray(0.1 + 0.05 * np.asarray(mesh.cell_midpoints)[:, 1])
+    dt, src = 0.7, 0.15
+
+    want = p2k.rd_residual(c, cp, D, rho, dt, source=src, conc_max=1.0)
+
+    halo = plan.tables()[plan.prefix + "Halo"]
+    from glimslib_tpu.ops.bell import apply_bell_scalar
+
+    W = p2_ell.build_p2_rd_const(plan, p2k, D, rho, dt, jnp.float64)
+    M = plan.assemble(p2_ell.p2_mass_entries(p2k, jnp.float64))
+    zero = jnp.zeros(p2k.n_dofs)
+    load = -p2k.rd_residual(zero, zero, D, rho, dt, source=src)
+    got = (
+        apply_bell_scalar(plan, halo, W, c)
+        - apply_bell_scalar(plan, halo, M, cp)
+        + p2_ell.p2_cubic_residual(plan, p2k, c, rho, dt, 1.0, jnp.float64)
+        - load
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-10, atol=1e-12)
