@@ -37,6 +37,34 @@ USE_ADJOINT = False
 # float64 (on CPU); TPU benchmarks use float32 (f64 is emulated on TPU).
 default_dtype = os.environ.get("GLIMS_DTYPE", "float64")
 
+# Solver operating-point profile (GLIMS_PROFILE, read at MODEL BUILD time
+# so tests/tools can flip it per construction):
+#   'accurate' (default) — the rebuild's published accuracy point:
+#     elasticity cg_rtol 1e-7 (f32) with mixed-precision refinement auto
+#     (measured 3.2e-6 plain / 1.6e-7 refined on the north-star configs,
+#     tools/tpu_accuracy.py).
+#   'reference' — the REFERENCE's operating point: PETSc KSP default
+#     rtol 1e-5 (the reference's SNES solves use default Krylov
+#     tolerances, simulation_tumor_growth.py:126-140), i.e. elasticity
+#     cg_rtol 1e-5 + Dembo-Eisenstat-Steihaug forcing 1e-3 on the
+#     concentration block's inner CG, refinement off.  Newton still
+#     converges the exact nonlinear residual to newton_rtol — inner-solve
+#     looseness changes the contraction rate, never the converged state;
+#     the elasticity block (LINEAR, so its rtol directly bounds solution
+#     error) lands exactly where the reference's does.  Speed/accuracy at
+#     both points are published in docs/numerics.md.
+profile_default = os.environ.get("GLIMS_PROFILE", "accurate")
+
+
+def resolve_profile():
+    """Current solver profile ('accurate' | 'reference'); env wins so the
+    flag can be flipped per model construction."""
+    p = os.environ.get("GLIMS_PROFILE", profile_default).strip().lower()
+    if p not in ("accurate", "reference"):
+        raise ValueError(f"GLIMS_PROFILE={p!r}: use 'accurate' or 'reference'")
+    return p
+
+
 # Chebyshev polynomial preconditioning degree for the per-step CG solves
 # (solvers/cg.py make_chebyshev_precond; 0/1 = Jacobi/block-Jacobi alone).
 # Overridable per model via ``sim.step_config``.

@@ -68,6 +68,28 @@ class TumorGrowth(Simulation):
             ]
         return jnp.asarray(value, dtype=self.dtype)
 
+    def theta_class_labels(self):
+        """Subdomain cell labels when every plane coefficient is scalar or
+        per-tissue (dict / TissueCoefficient over the SAME labels) — the
+        factored-assembly contract (ops/bell_factored.py).  Raw per-cell
+        arrays or spatial callables return None (dense assembly)."""
+        import numbers
+
+        sub_labels = np.asarray(self.subdomains.cell_labels)
+        p = self.params.as_dict()
+        for key in ("diffusion", "proliferation", "coupling", "E", "poisson"):
+            v = p.get(key)
+            if isinstance(v, numbers.Number):
+                continue
+            if isinstance(v, dict):
+                continue
+            if isinstance(v, TissueCoefficient):
+                if np.array_equal(np.asarray(v.cell_labels), sub_labels):
+                    continue
+                return None
+            return None
+        return sub_labels
+
     def make_theta(self, params: Dict):
         E = self._per_cell(params["E"])
         nu = self._per_cell(params["poisson"])

@@ -72,6 +72,23 @@ class TumorGrowthBrain(TumorGrowth):
             vals.append(jnp.asarray(v, dtype=self.dtype))
         return jnp.stack(vals)
 
+    def theta_class_labels(self):
+        """Every brain coefficient is a per-tissue LUT gather over the
+        subdomain cell labels (:meth:`make_theta`) — class-wise constant
+        by construction, so the factored frozen assembly
+        (ops/bell_factored.py) is always exact here."""
+        return np.asarray(self.subdomains.cell_labels)
+
+    def theta_class_support(self):
+        """D and rho are built with LUT fill 0.0 outside GM+WM
+        (:meth:`make_theta`, reference brain_quad.py:95-104) — their
+        factored channels exist only for those classes."""
+        name_id = {
+            v: k for k, v in self.subdomains.tissue_id_name_map.items()
+        }
+        supp = {int(name_id[n]) for n in ("GM", "WM") if n in name_id}
+        return {"D": supp, "rho": supp}
+
     def make_theta(self, params: Dict):
         p = params
         labels = jnp.asarray(self.subdomains.cell_labels.astype(np.int32))

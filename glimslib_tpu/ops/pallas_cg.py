@@ -455,6 +455,343 @@ def cg_scalar(offsets, Wt, invd_t, b, rtol, atol, maxiter, n):
     return untile_field(xt, n), {"iters": it[0, 0], "resnorm": rn[0, 0]}
 
 
+def streamed_cfg(offsets, n, d, rv_candidates=(128, 96, 64, 48, 40)):
+    """(Rv, Rh, Rs) chunking for the STREAMED-vector fused CG, or None.
+
+    Above the whole-resident ceiling (7 d-vectors + packed Binv > VMEM,
+    N=48 lattice — CLAUDE candidate #4 / VERDICT r4 #5) the CG vectors
+    live in HBM and stream through VMEM row-chunks: Rv rows per chunk,
+    Rh halo rows (ceil(max|offset|/128) — the stencil reads p[i+off], so
+    a chunk's shifted reads stay within [c·Rv−Rh, (c+1)·Rv+Rh) rows of a
+    zero-padded p), Rs the chunk-padded row count (multiple of 2·Rv for
+    the even/odd slot unroll)."""
+    R = _pad_len(n) // 128
+    max_off = max(abs(int(o)) for o in offsets)
+    Rh = -(-max_off // 128)
+    n_off = len(offsets)
+    for Rv in rv_candidates:
+        if Rv < Rh:
+            continue
+        rows = (
+            2 * (2 * d * (Rv + 2 * Rh))      # z, p halo in-bufs (2 slots)
+            + 2 * n_off * d * d * Rv         # W chunk (2 slots)
+            + 2 * 2 * d * Rv                 # Ap out + p out (2 slots)
+            + 2 * ((d * (d + 1) // 2) + 5 * d) * Rv  # pass-B bufs (2 slots)
+        )
+        if rows * 128 * 4 <= _VMEM_BUDGET:
+            Rs = -(-R // (2 * Rv)) * (2 * Rv)
+            return Rv, Rh, Rs
+    return None
+
+
+def _pad_rows(x, axis, rows):
+    """Zero-pad the tiled row axis up to ``rows``."""
+    if x.shape[axis] == rows:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rows - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _cg_vector_streamed_kernel(offsets, Rs, d, Rv, Rh, maxiter, rtol, atol,
+                               interpret):
+    """Whole-solve PCG with HBM-resident vectors (see streamed_cfg).
+
+    Same update order and stopping rule as :func:`_cg_vector_kernel`; the
+    p-update is fused into the matvec pass (p_k = z + beta p_{k-1}
+    recomputed per chunk incl. halo rows), so each iteration is two chunk
+    sweeps: A) p/Ap/pAp, B) x/r/z and the rz/rr dots.  p is
+    double-buffered across iterations (parity k%2) because pass A of
+    iteration k reads p_{k-1} halo rows that neighbouring chunks have
+    already overwritten in the single-buffer layout."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_off = len(offsets)
+    nc = Rs // Rv
+    assert nc % 2 == 0
+    Rp = Rs + 2 * Rh  # padded row count of p / z (zero halo rows)
+    npk = d * (d + 1) // 2  # packed symmetric Binv planes
+    pair_idx = {p_: i for i, p_ in enumerate(_sym_pairs(d))}
+    i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
+
+    def kern(w_hbm, binv_hbm, b_hbm,
+             x_hbm, it_ref, rn_ref, r_hbm, z_hbm, p_hbm, ap_hbm,
+             zb, pb, wb, apo, pno, bvb, xb, rb, apb, pib, zob,
+             sin, sout):
+        """refs: inputs (ANY) w/binv/b; outputs x + SMEM iters/resnorm +
+        ANY scratch-outputs r, z (padded), p (2, padded), Ap; VMEM
+        scratch: zb/pb (2,d,Rv+2Rh,128) halo in-bufs, wb (2,n_off,d,d,
+        Rv,128), apo/pno (2,d,Rv,128) pass-A out-bufs, bvb (2,npk,Rv,128),
+        xb/rb/apb/pib/zob (2,d,Rv,128) pass-B bufs; DMA sems sin (2,8) /
+        sout (2,4)."""
+
+        def cp(src, dst, sem):
+            return pltpu.make_async_copy(src, dst, sem)
+
+        def precond(bv, r):
+            out = []
+            for a in range(d):
+                cur = None
+                for b_ in range(d):
+                    ip = pair_idx[(a, b_) if a <= b_ else (b_, a)]
+                    t = bv[ip] * r[b_]
+                    cur = t if cur is None else cur + t
+                out.append(cur)
+            return jnp.stack(out)
+
+        # -- init: zero p/z halo pad rows, x; r=b, z=Minv b, p0=z ----------
+        apo[0] = jnp.zeros((d, Rv, 128), jnp.float32)  # zero source
+        halo_zeros = []
+        for par in (0, 1):
+            halo_zeros.append(cp(
+                apo.at[0, :, :Rh], p_hbm.at[par, :, pl.ds(0, Rh)],
+                sout.at[0, par]))
+            halo_zeros.append(cp(
+                apo.at[0, :, :Rh], p_hbm.at[par, :, pl.ds(Rs + Rh, Rh)],
+                sout.at[1, par]))
+        halo_zeros.append(cp(
+            apo.at[0, :, :Rh], z_hbm.at[:, pl.ds(0, Rh)], sout.at[0, 2]))
+        halo_zeros.append(cp(
+            apo.at[0, :, :Rh], z_hbm.at[:, pl.ds(Rs + Rh, Rh)],
+            sout.at[1, 2]))
+        for dma in halo_zeros:
+            dma.start()
+        for dma in halo_zeros:
+            dma.wait()
+
+        def init_chunk(c, carry):
+            bb_a, rz_a = carry
+            c = i32(c)
+            rows = pl.ds(c * Rv, Rv)
+            prows = pl.ds(Rh + c * Rv, Rv)
+            d_b = cp(b_hbm.at[:, rows], apb.at[0], sin.at[0, 0])
+            d_bv = cp(binv_hbm.at[:, rows], bvb.at[0], sin.at[0, 1])
+            d_x = cp(apo.at[0], x_hbm.at[:, rows], sout.at[0, 0])
+            d_b.start()
+            d_bv.start()
+            d_x.start()
+            d_b.wait()
+            bv_c = apb[0]  # b chunk
+            d_r = cp(apb.at[0], r_hbm.at[:, rows], sout.at[0, 1])
+            d_r.start()
+            d_bv.wait()
+            z0 = precond(bvb[0], bv_c)
+            zob[0] = z0
+            d_z = cp(zob.at[0], z_hbm.at[:, prows], sout.at[0, 2])
+            d_p = cp(zob.at[0], p_hbm.at[0, :, prows], sout.at[0, 3])
+            d_z.start()
+            d_p.start()
+            bb_a = bb_a + jnp.sum(bv_c * bv_c)
+            rz_a = rz_a + jnp.sum(bv_c * z0)
+            for dma in (d_x, d_r, d_z, d_p):
+                dma.wait()
+            return (bb_a, rz_a)
+
+        bb, rz0 = jax.lax.fori_loop(
+            0, nc, init_chunk, (jnp.float32(0.0), jnp.float32(0.0))
+        )
+        tol2 = jnp.maximum(rtol * rtol * bb, atol * atol)
+
+        # -- iteration ------------------------------------------------------
+        Hr = Rv + 2 * Rh
+
+        def passA(beta, po, pn):
+            """p = z + beta p_old (fused), Ap = A p, returns pAp."""
+
+            def issue_in(c, s):
+                c = i32(c)
+                hrows = pl.ds(c * Rv, Hr)  # padded coords: own-Rh..own+Rh
+                dmas = (
+                    cp(z_hbm.at[:, hrows], zb.at[s], sin.at[s, 0]),
+                    cp(p_hbm.at[po, :, hrows], pb.at[s], sin.at[s, 1]),
+                    cp(w_hbm.at[:, :, :, pl.ds(c * Rv, Rv)], wb.at[s],
+                       sin.at[s, 2]),
+                )
+                for dma in dmas:
+                    dma.start()
+                return dmas
+
+            def compute(c, s, dmas, pAp_a):
+                c = i32(c)
+                dmas[0].wait()
+                dmas[1].wait()
+                pc = zb[s] + beta * pb[s]  # (d, Hr, 128)
+                pno[s] = pc[:, Rh:Rh + Rv, :]
+                d_pw = cp(pno.at[s], p_hbm.at[pn, :, pl.ds(Rh + c * Rv, Rv)],
+                          sout.at[s, 0])
+                d_pw.start()
+                dmas[2].wait()
+                accs = [None] * d
+                for o, off in enumerate(offsets):
+                    sh_o = [_flat_roll(pc[b_], Rh * 128 + off)[:Rv]
+                            for b_ in range(d)]
+                    for a in range(d):
+                        for b_ in range(d):
+                            t = wb[s, o, a, b_] * sh_o[b_]
+                            accs[a] = t if accs[a] is None else accs[a] + t
+                for a in range(d):
+                    apo[s, a] = accs[a]
+                d_aw = cp(apo.at[s], ap_hbm.at[:, pl.ds(c * Rv, Rv)],
+                          sout.at[s, 1])
+                d_aw.start()
+                return pAp_a + jnp.sum(pno[s] * apo[s]), (d_pw, d_aw)
+
+            def pair(i, pAp_a):
+                c0 = 2 * i32(i)
+                c1 = c0 + 1
+                in0 = issue_in(c0, 0)
+                in1 = issue_in(c1, 1)
+                pAp_a, out0 = compute(c0, 0, in0, pAp_a)
+                pAp_a, out1 = compute(c1, 1, in1, pAp_a)
+                for dma in out0 + out1:
+                    dma.wait()
+                return pAp_a
+
+            return jax.lax.fori_loop(0, nc // 2, pair, jnp.float32(0.0))
+
+        def passB(alpha, pn):
+            """x += alpha p; r -= alpha Ap; z = Minv r; returns (rz, rr)."""
+
+            def issue_in(c, s):
+                c = i32(c)
+                rows = pl.ds(c * Rv, Rv)
+                dmas = (
+                    cp(x_hbm.at[:, rows], xb.at[s], sin.at[s, 3]),
+                    cp(r_hbm.at[:, rows], rb.at[s], sin.at[s, 4]),
+                    cp(ap_hbm.at[:, rows], apb.at[s], sin.at[s, 5]),
+                    cp(p_hbm.at[pn, :, pl.ds(Rh + c * Rv, Rv)], pib.at[s],
+                       sin.at[s, 6]),
+                    cp(binv_hbm.at[:, rows], bvb.at[s], sin.at[s, 7]),
+                )
+                for dma in dmas:
+                    dma.start()
+                return dmas
+
+            def compute(c, s, dmas, carry):
+                rz_a, rr_a = carry
+                c = i32(c)
+                rows = pl.ds(c * Rv, Rv)
+                for dma in dmas:
+                    dma.wait()
+                xb[s] = xb[s] + alpha * pib[s]
+                d_xw = cp(xb.at[s], x_hbm.at[:, rows], sout.at[s, 0])
+                d_xw.start()
+                rc = rb[s] - alpha * apb[s]
+                rb[s] = rc
+                d_rw = cp(rb.at[s], r_hbm.at[:, rows], sout.at[s, 1])
+                d_rw.start()
+                z = precond(bvb[s], rc)
+                zob[s] = z
+                d_zw = cp(zob.at[s], z_hbm.at[:, pl.ds(Rh + c * Rv, Rv)],
+                          sout.at[s, 2])
+                d_zw.start()
+                return ((rz_a + jnp.sum(rc * z), rr_a + jnp.sum(rc * rc)),
+                        (d_xw, d_rw, d_zw))
+
+            def pair(i, carry):
+                c0 = 2 * i32(i)
+                c1 = c0 + 1
+                in0 = issue_in(c0, 0)
+                in1 = issue_in(c1, 1)
+                carry, out0 = compute(c0, 0, in0, carry)
+                carry, out1 = compute(c1, 1, in1, carry)
+                for dma in out0 + out1:
+                    dma.wait()
+                return carry
+
+            return jax.lax.fori_loop(
+                0, nc // 2, pair, (jnp.float32(0.0), jnp.float32(0.0))
+            )
+
+        def cond(carry):
+            k, rz, rr, beta = carry
+            return jnp.logical_and(k < maxiter, rr > tol2)
+
+        def body(carry):
+            k, rz, rr, beta = carry
+            po = i32(jnp.remainder(k, 2))
+            pn = i32(jnp.remainder(k + 1, 2))
+            pAp = passA(beta, po, pn)
+            alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+            rz_new, rr_new = passB(alpha, pn)
+            beta_new = rz_new / jnp.where(rz == 0, 1.0, rz)
+            return (k + 1, rz_new, rr_new, beta_new)
+
+        k, rz, rr, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), rz0, bb, jnp.float32(0.0)),
+        )
+        it_ref[0, 0] = k
+        rn_ref[0, 0] = jnp.sqrt(rr)
+
+    Hr = Rv + 2 * Rh
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((d, Rs, 128), jnp.float32),     # x
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d, Rs, 128), jnp.float32),     # r
+            jax.ShapeDtypeStruct((d, Rp, 128), jnp.float32),     # z (padded)
+            jax.ShapeDtypeStruct((2, d, Rp, 128), jnp.float32),  # p parity
+            jax.ShapeDtypeStruct((d, Rs, 128), jnp.float32),     # Ap
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d, Hr, 128), jnp.float32),        # zb
+            pltpu.VMEM((2, d, Hr, 128), jnp.float32),        # pb
+            pltpu.VMEM((2, n_off, d, d, Rv, 128), jnp.float32),  # wb
+            pltpu.VMEM((2, d, Rv, 128), jnp.float32),        # apo
+            pltpu.VMEM((2, d, Rv, 128), jnp.float32),        # pno
+            pltpu.VMEM((2, npk, Rv, 128), jnp.float32),      # bvb
+            pltpu.VMEM((2, d, Rv, 128), jnp.float32),        # xb
+            pltpu.VMEM((2, d, Rv, 128), jnp.float32),        # rb
+            pltpu.VMEM((2, d, Rv, 128), jnp.float32),        # apb
+            pltpu.VMEM((2, d, Rv, 128), jnp.float32),        # pib
+            pltpu.VMEM((2, d, Rv, 128), jnp.float32),        # zob
+            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )
+
+
+def cg_vector_streamed(offsets, Wt, Binv_t, b, rtol, atol, maxiter, n,
+                       cfg=None):
+    """Streamed-vector whole-solve PCG for meshes past the VMEM-resident
+    ceiling (N≥64 lattices, VERDICT r4 #5).  Same inputs as
+    :func:`cg_vector`; ``Wt``/``Binv_t`` may carry either the natural R
+    rows or already chunk-padded Rs rows (pad here otherwise)."""
+    d = Wt.shape[1]
+    cfg = cfg or streamed_cfg(offsets, n, d)
+    assert cfg is not None, "no streamed CG chunking fits VMEM"
+    Rv, Rh, Rs = cfg
+    Wt = _pad_rows(Wt, 3, Rs)
+    Binv_t = _pad_rows(Binv_t, 1, Rs)
+    bt = _pad_rows(tile_field(b, n), 1, Rs)
+    out = _cg_vector_streamed_kernel(
+        tuple(int(o) for o in offsets), Rs, d, Rv, Rh,
+        int(maxiter), float(rtol), float(atol), _interpret(),
+    )(Wt, Binv_t, bt)
+    xt, it, rn = out[0], out[1], out[2]
+    return untile_field(xt, n, d), {"iters": it[0, 0], "resnorm": rn[0, 0]}
+
+
 def cg_vector(offsets, Wt, Binv_t, b, rtol, atol, maxiter, n):
     """Solve A'' x = b with block-Jacobi PCG fully in-kernel.
 

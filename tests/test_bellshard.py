@@ -173,6 +173,141 @@ def test_bellshard_parity_at_scale():
         assert np.allclose(a, b, atol=1e-11), np.abs(a - b).max()
 
 
+def _sim_quad(n=6):
+    """Quad (P2-concentration) brain model — the reference's PRODUCTION
+    model family (image_based_optimization.py:26 imports TumorGrowthBrain
+    from simulation_tumor_growth_brain_quad), which under mpirun runs
+    distributed like any other (README.md:142-183)."""
+    from glimslib_tpu.models.tumor_growth_brain_quad import TumorGrowthBrain
+
+    mesh = box_mesh((0, 0, 0), (10, 10, 10), n, n, n)
+    mesh = Mesh.from_arrays(mesh.points, mesh.cells).reordered_morton()
+    r = np.linalg.norm((mesh.points - 5.0) / 5.0, axis=1)
+    labels = np.zeros(mesh.n_nodes)
+    labels[r < 0.95] = 1
+    labels[r < 0.80] = 2
+    labels[r < 0.62] = 3
+    labels[r < 0.20] = 4
+    sim = TumorGrowthBrain(mesh)
+    sim.setup_global_parameters(
+        label_function=labels,
+        domain_names={0: "outside", 1: "CSF", 2: "GM", 3: "WM",
+                      4: "Ventricles"},
+        boundaries={"boundary_all": _Boundary()},
+        dirichlet_bcs={
+            "clamped": {
+                "bc_value": np.zeros(3),
+                "named_boundary": "boundary_all",
+                "subspace_id": 0,
+            }
+        },
+    )
+    center = np.full(3, 5.0)
+    center[0] += 1.0
+    sim.setup_model_parameters(
+        iv_expression={
+            0: np.zeros(3),
+            1: lambda x: np.exp(-((x - center) ** 2).sum(axis=1) / 0.5),
+        },
+        E_GM=3e3, E_WM=3e3, E_CSF=1e3, E_VENT=1e3,
+        nu_GM=0.45, nu_WM=0.45, nu_CSF=0.45, nu_VENT=0.3,
+        D_GM=0.02, D_WM=0.1, rho_GM=0.02, rho_WM=0.1, coupling=0.15,
+        sim_time=2, sim_time_step=1,
+    )
+    return sim
+
+
+@pytest.fixture(scope="module")
+def quad_outputs():
+    sim_ref = _sim_quad()
+    assert sim_ref._use_p2_bell()
+    out_ref = _run(sim_ref)
+
+    sim_sh = _sim_quad()
+    sim_sh.use_sharding(make_device_mesh(NDEV))
+    assert sim_sh.sharding_mode == "bell"
+    aux = sim_sh.runtime_aux()
+    out_sh = _run(sim_sh)
+    return sim_ref, out_ref, sim_sh, aux, out_sh
+
+
+def test_quad_p2_tables_block_sharded(quad_outputs):
+    """The P2 plan's tables (the quad model's DOMINANT memory: 7.3x the
+    concentration dofs of P1) must partition on the supernode-block axis
+    (VERDICT r4 #1)."""
+    _, _, sim_sh, aux, _ = quad_outputs
+    p2plan = sim_sh._get_p2_plan()
+    assert p2plan.shard_ctx is not None
+    nb2 = p2plan.nb
+    shards = {s.data.shape[0] for s in aux["_P2BHalo"].addressable_shards}
+    assert shards == {nb2 // NDEV}, shards
+    place = aux["_P2BPlace"]
+    shards = {s.data.shape[0] for s in place.addressable_shards}
+    assert shards == {place.shape[0] // NDEV}
+    # frozen P2 supernode block-Jacobi inverse partitions too
+    minv = aux["_McSNP2"]
+    shards = {s.data.shape[0] for s in minv.addressable_shards}
+    assert shards == {nb2 // NDEV}, shards
+    # assembled P2 rd Jacobian plane (built inside simulate) partitions
+    theta = sim_sh.make_theta(sim_sh.params.as_dict())
+
+    def augment(theta, aux):
+        return sim_sh._augment_theta_with_operators({**theta, **aux})
+
+    out = jax.jit(augment)(theta, aux)
+    W2 = out["_P2BWrdC"]
+    shards = {s.data.shape[0] for s in W2.addressable_shards}
+    assert shards == {nb2 // NDEV}, shards
+
+
+def test_quad_trajectory_matches_single_device(quad_outputs):
+    _, out_ref, _, _, out_sh = quad_outputs
+    assert bool(np.asarray(out_ref[2]).all())
+    assert bool(np.asarray(out_sh[2]).all())
+    for i in (0, 1):
+        a = np.asarray(out_ref[i])
+        b = np.asarray(out_sh[i])
+        assert np.allclose(a, b, atol=1e-11), np.abs(a - b).max()
+
+
+def test_quad_adjoint_gradient_matches_single_device():
+    """value_and_grad through the sharded quad stack equals the
+    single-device gradient (the production workflow's inverse problem
+    under sharding, VERDICT r4 #1)."""
+    from glimslib_tpu.optimize.adjoint import (
+        InverseProblem, param_map_for_type, thresh,
+    )
+
+    def grad_for(shard):
+        sim = _sim_quad()
+        if shard:
+            sim.use_sharding(make_device_mesh(NDEV))
+            assert sim.sharding_mode == "bell"
+            assert sim._get_p2_plan().shard_ctx is not None
+        theta = sim.make_theta(sim.params.as_dict())
+        iv = sim.params.create_initial_value_function()
+        u0 = jnp.asarray(iv[0], sim.dtype)
+        c0 = jnp.asarray(iv[1], sim.dtype)
+        aux = sim.runtime_aux()
+        f = jax.jit(sim.build_simulate_fn(2, 1.0))
+        u_traj, c_traj, ok, _ = f(theta, u0, c0, aux)
+        assert bool(np.asarray(ok).all())
+        targets = {
+            "conc_T2": np.asarray(thresh(c_traj[-1], 0.12)),
+            "disp": np.asarray(u_traj[-1]),
+        }
+        names, update = param_map_for_type(2)
+        ip = InverseProblem(sim, names, targets, update_fn=update,
+                            n_steps=2, dt=1.0)
+        return ip.value_and_grad(np.array([0.05, 0.05]))
+
+    J0, g0 = grad_for(False)
+    J1, g1 = grad_for(True)
+    assert np.isfinite(g1).all()
+    np.testing.assert_allclose(J1, J0, rtol=1e-10)
+    np.testing.assert_allclose(g1, g0, rtol=1e-8, atol=1e-14)
+
+
 def test_adjoint_gradient_matches_single_device():
     """value_and_grad through the sharded bell/two-level stack equals the
     single-device gradient (IFT adjoint runs the same solves)."""

