@@ -55,9 +55,25 @@ import numpy as np
 from glimslib_tpu.ops.assembly import make_scatter_plan, pull_accumulate
 
 try:  # jax>=0.6 stable name
-    from jax import shard_map as _shard_map
+    from jax import shard_map as _shard_map_raw
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map  # type: ignore
+    from jax.experimental.shard_map import shard_map as _shard_map_raw  # type: ignore
+
+
+def _shard_map(fn, *, mesh, in_specs, out_specs):
+    """shard_map with varying-mesh-axes checking off: ``pallas_call`` has
+    no vma rule (jax 0.9 raises "vma on ShapeDtypeStruct must not be
+    None" the moment a per-device Pallas kernel runs under a checked
+    shard_map — exactly the hardware fast path of :func:`_bmv`).  Every
+    wrapped kernel here maps block-sharded inputs to block-sharded
+    outputs with no cross-device communication, so the check buys
+    nothing."""
+    try:
+        return _shard_map_raw(fn, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax: check_rep era
+        return _shard_map_raw(fn, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
 
 
 def _bmv(plan, A, x):
