@@ -26,6 +26,16 @@ N = int(os.environ.get("GLIMS_BENCH_N", "32"))  # lattice resolution
 N_STEPS = 5
 CACHE = os.path.join(ROOT, "BASELINE_CACHE.json")
 
+_T0 = time.monotonic()
+
+
+def _phase(msg):
+    """Stderr phase timestamps: axon service latency (remote compile /
+    dispatch queue) varies by >10x between runs, so the driver tail must
+    show WHERE a slow run spent its budget."""
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def build_problem(dtype=None):
     import jax
@@ -67,14 +77,18 @@ def run_tpu(n=None):
             )
     else:
         sim = build_problem(dtype=dtype)
+    t_b = time.perf_counter()
     theta = sim.make_theta(sim.params.as_dict())
     iv = sim.params.create_initial_value_function()
     u0 = jnp.asarray(iv[0], dtype=dtype)
     c0 = jnp.asarray(iv[1], dtype=dtype)
     simulate = jax.jit(sim.build_simulate_fn(N_STEPS, 1.0))
+    _phase(f"lattice n={n or N}: theta+trace {time.perf_counter()-t_b:.0f}s")
     # warmup/compile
+    t_b = time.perf_counter()
     out = simulate(theta, u0, c0)
     jax.block_until_ready(out)
+    _phase(f"lattice n={n or N}: compile+warm {time.perf_counter()-t_b:.0f}s")
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -126,6 +140,7 @@ def run_unstructured(n=None, quad=False, profile=None):
     assert sim.mesh.lattice_strides is None, (
         "unstructured bench mesh must not carry lattice structure"
     )
+    t_b = time.perf_counter()
     theta = sim.make_theta(sim.params.as_dict())
     iv = sim.params.create_initial_value_function()
     u0 = jnp.asarray(iv[0], dtype=dtype)
@@ -134,9 +149,14 @@ def run_unstructured(n=None, quad=False, profile=None):
     # frozen two-level coarse + mode arrays ride as a jit ARGUMENT
     # (solvers/twolevel.py; a closure constant would cost ~240 s compile)
     aux = sim.runtime_aux()
+    _phase(f"unstruct n={n} quad={quad}: theta+aux "
+           f"{time.perf_counter()-t_b:.0f}s")
+    t_b = time.perf_counter()
     args = (theta, u0, c0, aux) if aux else (theta, u0, c0)
     out = simulate(*args)
     jax.block_until_ready(out)
+    _phase(f"unstruct n={n} quad={quad}: compile+warm "
+           f"{time.perf_counter()-t_b:.0f}s")
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -349,7 +369,9 @@ def main():
     t_start = time.monotonic()
     budget = float(os.environ.get("GLIMS_BENCH_BUDGET_S", "2100"))
 
+    _phase("main start")
     sim, steps_per_sec = run_tpu()
+    _phase("primary measured")
     if os.environ.get("GLIMS_BENCH_SKIP_BASELINE", "0") == "1":
         # large-N runs: the scipy direct-solve baseline is impractical
         # (resolve from cache if present, else report vs the N=32 cache)
@@ -383,14 +405,20 @@ def main():
         return budget - (time.monotonic() - t_start)
 
     def extra(name, floor_s, fn):
-        """Run one extra under the budget; cumulative emit either way."""
+        """Run one extra under the budget; cumulative emit either way.
+        Per-extra wall seconds are recorded because axon service latency
+        (remote compile/dispatch queue) varies by an order of magnitude
+        run to run — the wall_s split says whether a skipped tail was our
+        cost model or a bad service hour."""
         if remaining() < floor_s:
             extras[name + "_skipped"] = f"budget ({remaining():.0f}s left)"
         else:
+            t_e = time.monotonic()
             try:
                 fn()
             except Exception as e:  # never sink already-measured metrics
                 extras[name + "_error"] = repr(e)[:200]
+            extras[name + "_wall_s"] = round(time.monotonic() - t_e, 1)
         emit()
 
     # flagship FIRST (VERDICT r3 next #2): the reference's flagship
@@ -408,19 +436,12 @@ def main():
 
     extra("unstructured_large", 240, _flagship)
 
-    # flagship-scale adjoint (VERDICT r3 next #5): value_and_grad through
-    # the bell/two-level operator stack at the reference-flagship mesh
-    def _flagship_adjoint():
-        n_large = int(os.environ.get("GLIMS_BENCH_N_UNSTRUCT_LARGE", "32"))
-        vg = run_adjoint(n=n_large, unstructured=True)
-        extras["adjoint_flagship_value_and_grad_per_sec"] = round(vg, 4)
-
-    extra("adjoint_flagship", 420, _flagship_adjoint)
-
     # quad (P2-concentration) flagship (VERDICT r4 #2): the model family
     # the reference's production workflow drives
     # (image_based_optimization.py:26) on the same 197k-tet mesh — P2
-    # carries 7.3x the concentration dofs of P1
+    # carries 7.3x the concentration dofs of P1.  Runs BEFORE the r4-
+    # captured extras: under a slow axon hour the budget must spend
+    # itself on numbers no prior round has.
     def _quad_flagship():
         n_large = int(os.environ.get("GLIMS_BENCH_N_UNSTRUCT_LARGE", "32"))
         sim_q, n_cells_q, sps_q = run_unstructured(n_large, quad=True)
@@ -440,6 +461,28 @@ def main():
 
     extra("flagship_reference_profile", 240, _flagship_reference_profile)
 
+    # flagship-scale adjoint (VERDICT r3 next #5): value_and_grad through
+    # the bell/two-level operator stack at the reference-flagship mesh
+    def _flagship_adjoint():
+        n_large = int(os.environ.get("GLIMS_BENCH_N_UNSTRUCT_LARGE", "32"))
+        vg = run_adjoint(n=n_large, unstructured=True)
+        extras["adjoint_flagship_value_and_grad_per_sec"] = round(vg, 4)
+
+    extra("adjoint_flagship", 420, _flagship_adjoint)
+
+    # N=64 lattice (274,625 nodes): past the VMEM-resident fused-CG
+    # ceiling — the elasticity solves run the STREAMED-vector whole-solve
+    # kernel (ops/pallas_cg.py cg_vector_streamed, VERDICT r4 #5).  Also
+    # a first-capture: ahead of the r4-captured small extras.
+    def _lattice64():
+        n64 = int(os.environ.get("GLIMS_BENCH_N_LATTICE_LARGE", "64"))
+        sim64, sps64 = run_tpu(n=n64)
+        extras[f"lattice{n64}_steps_per_sec"] = round(sps64, 4)
+        scfg = getattr(sim64, "_el_stream_cfg", None)
+        extras[f"lattice{n64}_streamed_cg"] = bool(scfg)
+
+    extra("lattice64", 300, _lattice64)
+
     def _unstruct_small():
         _, n_cells, sps_u = run_unstructured()
         extras["unstructured_steps_per_sec"] = round(sps_u, 4)
@@ -451,18 +494,6 @@ def main():
         extras["adjoint_value_and_grad_per_sec"] = round(run_adjoint(), 4)
 
     extra("adjoint", 150, _adjoint_small)
-
-    # N=64 lattice (274,625 nodes): past the VMEM-resident fused-CG
-    # ceiling — the elasticity solves run the STREAMED-vector whole-solve
-    # kernel (ops/pallas_cg.py cg_vector_streamed, VERDICT r4 #5)
-    def _lattice64():
-        n64 = int(os.environ.get("GLIMS_BENCH_N_LATTICE_LARGE", "64"))
-        sim64, sps64 = run_tpu(n=n64)
-        extras[f"lattice{n64}_steps_per_sec"] = round(sps64, 4)
-        scfg = getattr(sim64, "_el_stream_cfg", None)
-        extras[f"lattice{n64}_streamed_cg"] = bool(scfg)
-
-    extra("lattice64", 300, _lattice64)
 
     # refined runs LAST: enabling x64 changes dtype promotion for every
     # trace after it

@@ -195,12 +195,18 @@ class BoundaryConditions:
         ss = self._functionspace.subspaces.get_subspace(subspace_id)
         if ss.degree == 2:
             # constrain the facet edge-midpoint dofs too (fenics.DirichletBC
-            # topological semantics over the full P2 dof set)
+            # topological semantics over the full P2 dof set), and map
+            # vertex-node ids through the shared interleaved P2 dof layout
+            # (ops/p2.py p2_dof_layout)
+            from glimslib_tpu.ops.p2 import p2_dof_layout
+
+            m = self._subdomains.mesh
+            _, rank, _ = p2_dof_layout(m)
+            nodes = rank[np.asarray(nodes, np.int64)]
             fvs = self._boundary_facet_vertex_sets_for(bc_dict)
             if fvs is not None and len(fvs):
-                m = self._subdomains.mesh
                 nodes = np.concatenate(
-                    [np.asarray(nodes, np.int64), _facet_edge_dofs(m, fvs)]
+                    [nodes, rank[_facet_edge_dofs(m, fvs)]]
                 )
         coords = self._functionspace.dof_coordinates(subspace_id)[nodes]
         return DirichletBC(

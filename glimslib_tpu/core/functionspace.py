@@ -123,13 +123,18 @@ class FunctionSpace:
     # -- dof coordinates ----------------------------------------------------
 
     def dof_coordinates(self, subspace_id: int) -> np.ndarray:
-        """Coordinates of scalar dofs of a subspace (nodes [+ edge mids])."""
+        """Coordinates of scalar dofs of a subspace, in the subspace's dof
+        order (P2 dofs use the shared interleaved layout, ops/p2.py
+        p2_dof_layout)."""
         ss = self.subspaces.get_subspace(subspace_id)
         pts = self.mesh.points
         if ss.degree == 1:
             return pts
+        from glimslib_tpu.ops.p2 import p2_dof_layout
+
+        perm, _, _ = p2_dof_layout(self.mesh)
         mids = pts[self._edge_nodes].mean(axis=1)
-        return np.concatenate([pts, mids], axis=0)
+        return np.concatenate([pts, mids], axis=0)[perm]
 
     # -- field containers ---------------------------------------------------
 

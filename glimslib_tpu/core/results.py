@@ -277,8 +277,13 @@ class Results:
         for sid, arr in fields.items():
             arr = np.asarray(arr)
             if arr.ndim == 1 and len(arr) > n_pts:
-                # P2 field: vertex dofs lead and equal the vertex values
-                arr = arr[:n_pts]
+                # P2 field: extract the vertex-dof values (equal to the
+                # function's vertex values) via the shared interleaved
+                # layout (ops/p2.py p2_dof_layout)
+                from glimslib_tpu.ops.p2 import p2_dof_layout
+
+                _, rank, _ = p2_dof_layout(self.mesh)
+                arr = arr[rank[:n_pts]]
             point_data[names.get(sid, f"subspace_{sid}")] = arr
         if method == "vtk":
             from glimslib_tpu.utils import vtk_utils

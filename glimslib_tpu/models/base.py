@@ -1377,15 +1377,22 @@ class Simulation(ABC):
                         theta, self.dtype, want_mass=p2_stream,
                     )
                     if planes2 is None:
+                        # per-plane memory-bounded assembly (never fused:
+                        # the P2 plan's dense-slot count makes the fused
+                        # width-w intermediates lane-pad to tens of GB at
+                        # flagship scale — see ops/bell.py
+                        # assemble_scalar_chunked)
                         ents2 = [p2_ell._const_entries(
                             self.p2, theta["D"], theta["rho"], theta["dt"],
                             self.dtype)]
                         if p2_stream:
                             ents2.append(p2_ell.p2_mass_entries(
                                 self.p2, self.dtype))
-                        planes2 = bell_mod.assemble_fused(
-                            p2plan, ents2, tables=tbp
-                        )
+                        planes2 = [
+                            bell_mod.assemble_maybe_chunked(
+                                p2plan, e, tables=tbp
+                            ) for e in ents2
+                        ]
                     Wrd2 = planes2.pop(0)
                     theta["_P2BWrdC"] = Wrd2
                     if p2_stream:

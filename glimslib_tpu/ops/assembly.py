@@ -150,7 +150,8 @@ def make_scatter_plan_dropping(index_map: np.ndarray,
     )
 
 
-def pull_accumulate(pull_table_flat, n_segments: int, contrib_flat):
+def pull_accumulate(pull_table_flat, n_segments: int, contrib_flat,
+                    chunk_rows: int = None):
     """Core pull-gather accumulation: pad contributions with one zero row
     (the sentinel target), gather (n_segments * K) incident entries,
     reduce over K.  Shared by :func:`scatter` and the shard-mapped kernels
@@ -160,13 +161,46 @@ def pull_accumulate(pull_table_flat, n_segments: int, contrib_flat):
     than scalar gathers per element, so 1-D contributions are pulled as
     duplicated width-2 rows (the extra column costs streaming bandwidth,
     the row form saves gather time).
-    """
+
+    ``chunk_rows``: process the segments in row chunks under ``lax.map``.
+    The gathered (n_segments, K, w) intermediate carries its small tail on
+    LANES — the TPU pads w to 128 in any materialized layout, and at P2
+    flagship scale (7.4M off-diag pairs, K=6) XLA's AOT planner allocates
+    the padded buffer outright: f32[5, 7404096, 6] plans as 18.9 GB > HBM
+    (the round-5 quad-flagship compile OOM).  Chunking bounds the
+    transient to chunk_rows*K*128*4 bytes regardless of fusion."""
     c = contrib_flat
     was_1d = c.ndim == 1
     if was_1d:
         c = jnp.stack([c, c], axis=-1)
     pad_width = [(0, 1)] + [(0, 0)] * (c.ndim - 1)
     padded = jnp.pad(c, pad_width)
+    K = pull_table_flat.size // max(n_segments, 1)
+    if chunk_rows and n_segments > chunk_rows:
+        import jax
+
+        n_chunks = -(-n_segments // chunk_rows)
+        sentinel = padded.shape[0] - 1  # the zero row
+        pad_len = n_chunks * chunk_rows * K - pull_table_flat.size
+        tbl = jnp.concatenate([
+            pull_table_flat.ravel(),
+            jnp.full((pad_len,), sentinel, pull_table_flat.dtype),
+        ]).reshape(n_chunks, chunk_rows * K)
+
+        def body(idx_chunk):
+            pulled = jnp.take(padded, idx_chunk, axis=0)
+            red = jnp.sum(
+                pulled.reshape((chunk_rows, K) + c.shape[1:]), axis=1
+            )
+            # finalize the duplicated width-2 rows INSIDE the body: the
+            # lax.map output buffer is materialized as stacked chunks, and
+            # a trailing width-2 lane dim would pad 2 -> 128 (64x)
+            return red[..., 0] if was_1d else red
+
+        out = jax.lax.map(body, tbl).reshape(
+            (n_chunks * chunk_rows,) + (() if was_1d else c.shape[1:])
+        )[:n_segments]
+        return out
     pulled = jnp.take(padded, pull_table_flat, axis=0)
     out = jnp.sum(pulled.reshape((n_segments, -1) + c.shape[1:]), axis=1)
     return out[..., 0] if was_1d else out

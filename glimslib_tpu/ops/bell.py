@@ -340,6 +340,85 @@ def assemble_fused(plan: BellPlan, ents, tables=None):
     return outs
 
 
+def assemble_scalar_chunked(plan: BellPlan, ent, tables=None,
+                            rows_per_chunk: int = None):
+    """Memory-bounded scalar-plane assembly for VERY LARGE plans.
+
+    Same math as ``plan.assemble`` for a tail-less entry tensor, but every
+    gather stage runs under ``lax.map`` over row chunks with 1-D bodies.
+    Rationale: at P2 flagship scale (274k dofs, 7.4M off-diag pairs, 248M
+    dense halo slots) the one-shot pull and placement gathers carry small
+    trailing dims (multiplicity K, duplicated width 2) that the TPU pads
+    to 128 lanes in any materialized layout — the axon AOT planner
+    allocates such an intermediate outright (f32[5, 7404096, 6] plans as
+    18.9 GB, the round-5 quad-flagship compile OOM).  Chunking bounds
+    every transient to O(rows_per_chunk) regardless of fusion decisions;
+    the sequential lax.map costs ~0.5-1 s per plane at 248M slots (setup
+    or once-per-simulate work, never per CG iteration)."""
+    import jax
+
+    npe = plan.npe
+    diag_pull, off_pull, place = plan._tables_or_const(tables)
+    rc = int(rows_per_chunk or (1 << 19))
+    flat = ent.reshape(npe * npe, -1)
+    k = jnp.arange(npe)
+    diag_flat = flat.reshape(npe, npe, -1)[k, k].reshape(-1)
+    off_flat = jnp.take(
+        flat, jnp.asarray(plan.off_entry_idx), axis=0
+    ).reshape(-1)
+    Kd = diag_pull.size // max(plan.n, 1)
+    Ko = off_pull.size // max(plan.n_off, 1)
+    diag_vals = pull_accumulate(
+        diag_pull.ravel(), plan.n, diag_flat,
+        chunk_rows=max(1, rc // max(Kd, 1)),
+    )
+    off_vals = pull_accumulate(
+        off_pull.ravel(), plan.n_off, off_flat,
+        chunk_rows=max(1, rc // max(Ko, 1)),
+    )
+    both0 = jnp.pad(jnp.concatenate([off_vals, diag_vals]), (0, 1))
+    src = jnp.stack([both0, both0], axis=-1)  # width-2 duplicated rows
+    slots = plan.nb * plan.s * plan.Kh
+    sent = both0.shape[0] - 1  # the zero sentinel row (== plan default)
+    n_chunks = -(-slots // rc)
+    pl = jnp.concatenate([
+        place.ravel(),
+        jnp.full((n_chunks * rc - slots,), sent, place.dtype),
+    ]).reshape(n_chunks, rc)
+
+    def body(idx):
+        return jnp.take(src, idx, axis=0)[..., 0]
+
+    vals = jax.lax.map(body, pl).reshape(n_chunks * rc)[:slots]
+    out = vals.reshape(plan.nb, plan.s, plan.Kh)
+    if plan.shard_ctx is not None:
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = plan.shard_ctx
+        out = _jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P(axis, None, None))
+        )
+    return out
+
+
+# dense-slot count above which the chunked scalar assembly replaces the
+# one-shot gathers (the P1 flagship plan is ~5.8M slots and its fused
+# path is measured fast; the P2 flagship plan is 248M slots and OOMs)
+_CHUNK_SLOTS = 32_000_000
+
+
+def assemble_maybe_chunked(plan: BellPlan, ent, tables=None):
+    """Scalar-plane assemble that self-selects the memory-bounded path."""
+    import os as _os
+
+    thresh = int(_os.environ.get("GLIMS_ASSEMBLE_CHUNK_SLOTS",
+                                 str(_CHUNK_SLOTS)))
+    if ent.ndim == 3 and plan.nb * plan.s * plan.Kh > thresh:
+        return assemble_scalar_chunked(plan, ent, tables)
+    return plan.assemble(ent, tables)
+
+
 def build_bell_coupling_uc(plan: BellPlan, mesh_arrays, mu, lam, coupling,
                            dtype, tables=None):
     """(nb, s, d, Kh) values of the growth-coupling operator C: scalar

@@ -263,17 +263,30 @@ def build_p2_cache(p2plan, p2k, labels, dtype, want_mass, support=None,
     d_i = _support_idx(classes, support, "D")
     tb = tables if tables is not None else p2plan.tables()
 
-    @jax.jit
-    def _build(tb, inds):
-        Kg, det = _p2_stiffness_geom(p2k, dtype)
-        M_full = M0[:, :, None] * det[None, None, :]
-        ents = [M_full]
-        ents += [M0[:, :, None] * (det * inds[i])[None, None, :]
-                 for i in rho_i]
-        ents += [(det * inds[i]) * Kg for i in d_i]
-        return jnp.stack(bell_mod.assemble_fused(p2plan, ents, tb), axis=0)
+    # ONE CHANNEL PER JIT CALL, memory-bounded assembly: the P2 plan at
+    # flagship scale (248M dense slots, 7.4M off-diag pairs) cannot fuse
+    # T' channels through one placement gather — the (rows, K, T')
+    # intermediates lane-pad their small trailing dims to 128 and the
+    # axon AOT planner allocates them outright (f32[5, 7404096, 6] plans
+    # as 18.9 GB > HBM).  assemble_maybe_chunked bounds each channel's
+    # transients under lax.map; ~1 s per channel of SETUP time (the whole
+    # point of the frozen cache is that no simulate pays this again).
+    from functools import partial
 
-    planes = _build(tb, inds)
+    @partial(jax.jit, static_argnames=("kind",))
+    def _channel(tb, ind, kind):
+        Kg, det = _p2_stiffness_geom(p2k, dtype)
+        if kind == "mass":
+            ent = M0[:, :, None] * (det * ind)[None, None, :]
+        else:
+            ent = (det * ind) * Kg
+        return bell_mod.assemble_maybe_chunked(p2plan, ent, tb)
+
+    ones = jnp.ones((p2k.n_cells,), dtype)
+    chans = [_channel(tb, ones, "mass")]
+    chans += [_channel(tb, inds[i], "mass") for i in rho_i]
+    chans += [_channel(tb, inds[i], "stiff") for i in d_i]
+    planes = jnp.stack(chans, axis=0)
     out = {
         "_FP2Wrd": planes,
         "_FP2RhoReps": jnp.asarray(reps[rho_i]),

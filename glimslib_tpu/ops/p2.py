@@ -27,6 +27,56 @@ from glimslib_tpu.core.elements import P2Element, simplex_quadrature
 from glimslib_tpu.ops.assembly import make_scatter_plan, scatter
 
 
+def p2_dof_layout(mesh):
+    """Shared P2 dof numbering for a mesh: ``(perm, rank, n_edges)``.
+
+    ``perm[new_id] = canonical_id`` and ``rank[canonical_id] = new_id``,
+    where canonical = ``[vertices | n_nodes + edges]``.  By default the
+    dofs are INTERLEAVED in Morton order over their coordinates (vertices
+    at vertex positions, edge dofs at midpoints): vertex and edge dofs
+    that are spatial neighbors get nearby ids, which is what the supernode
+    halo-ELL operator layout (ops/p2_ell.py) needs — with the canonical
+    segregated numbering every vertex↔edge coupling is block-external and
+    the flagship plan explodes to Kh=890 / 248M dense slots (measured;
+    interleaving cuts it to Kh=240 / 67M at s=32, and the per-matvec halo
+    gather from 7.5M to 1.8M rows).  ``GLIMS_P2_INTERLEAVE=0`` restores
+    the canonical order.
+
+    Cached on the mesh object; every P2 consumer (P2Kernels, FunctionSpace
+    projections, Dirichlet/von-Neumann BCs, results I/O) must map through
+    this ONE layout."""
+    import os
+
+    cached = getattr(mesh, "_p2_layout_cache", None)
+    if cached is not None:
+        return cached
+    edge_nodes, _ = mesh.edges()
+    n, ne = mesh.n_nodes, len(edge_nodes)
+    if os.environ.get("GLIMS_P2_INTERLEAVE", "1") == "0":
+        perm = np.arange(n + ne, dtype=np.int64)
+        rank = perm
+    else:
+        pts = np.asarray(mesh.points, np.float64)
+        coords = np.concatenate([pts, pts[edge_nodes].mean(axis=1)], axis=0)
+        bits = 10
+        lo, hi = coords.min(axis=0), coords.max(axis=0)
+        qv = ((coords - lo) / np.maximum(hi - lo, 1e-30) * ((1 << bits) - 1)
+              ).astype(np.uint64)
+        d = coords.shape[1]
+        code = np.zeros(len(coords), np.uint64)
+        for b in range(bits):
+            for a in range(d):
+                code |= (
+                    (qv[:, a] >> np.uint64(b)) & np.uint64(1)
+                ) << np.uint64(b * d + a)
+        perm = np.argsort(code, kind="stable").astype(np.int64)
+        rank = np.empty_like(perm)
+        rank[perm] = np.arange(len(perm))
+    out = (perm, rank, ne)
+    object.__setattr__(mesh, "_p2_layout_cache", out)
+    return out
+
+
 class P2Kernels:
     """Matrix-free kernels for a scalar P2 field on a simplex mesh."""
 
@@ -42,9 +92,15 @@ class P2Kernels:
         edge_nodes, cell_edges = mesh.edges()
         self.n_edges = len(edge_nodes)
         self.n_dofs = mesh.n_nodes + self.n_edges
-        cell_dofs = np.concatenate(
+        # interleaved-Morton dof numbering (see p2_dof_layout): rank maps
+        # canonical [vertices | n + edges] ids to the actual dof ids
+        perm, rank, _ = p2_dof_layout(mesh)
+        self.dof_perm = perm
+        self.dof_rank = rank
+        self.vertex_ids = jnp.asarray(rank[: mesh.n_nodes].copy())
+        cell_dofs = rank[np.concatenate(
             [mesh.cells, mesh.n_nodes + cell_edges], axis=1
-        ).astype(np.int32)
+        )].astype(np.int32)
         self.cell_dofs = jnp.asarray(cell_dofs)
         self.npe = cell_dofs.shape[1]
         self.plan = make_scatter_plan(cell_dofs, self.n_dofs)
@@ -61,10 +117,10 @@ class P2Kernels:
         # affine map: A[e, a, d] = grad(lambda_{a+1})  (P1 gradient table)
         self.A = jnp.asarray(mesh.cell_grads[:, 1:, :], dtype)  # (nc, d, d)
 
-        # dof coordinates (for IVs/targets): vertices + edge midpoints
+        # dof coordinates (for IVs/targets), in the interleaved dof order
         self.dof_coords = np.concatenate(
             [mesh.points, mesh.points[edge_nodes].mean(axis=1)], axis=0
-        )
+        )[perm]
 
     # -- basics --------------------------------------------------------------
 
@@ -224,8 +280,18 @@ class P2Kernels:
 
     def vertex_part(self, c):
         """Restrict a P2 coefficient vector to its vertex dofs (for plotting
-        and P1-based postprocessing)."""
-        return c[: self.n_nodes]
+        and P1-based postprocessing), in mesh-node order."""
+        c = jnp.asarray(c)
+        pack = jnp.stack([c, c], axis=-1)  # fast row-gather path
+        return jnp.take(pack, self.vertex_ids, axis=0)[..., 0]
+
+    def edge_dof_ids(self, eids):
+        """Global dof ids of edge dofs given canonical edge indices."""
+        return self.dof_rank[self.mesh.n_nodes + np.asarray(eids, np.int64)]
+
+    def vertex_dof_ids(self, nids):
+        """Global dof ids of vertex dofs given mesh-node indices."""
+        return self.dof_rank[np.asarray(nids, np.int64)]
 
 
 class P2FacetKernels:
@@ -261,9 +327,10 @@ class P2FacetKernels:
             eids = eids.reshape(len(fev), self.n_facets).T  # (nf, ne_facet)
         else:
             eids = np.zeros((0, len(fev)), dtype=np.int32)
-        facet_dofs = np.concatenate(
+        _, rank, _ = p2_dof_layout(mesh)
+        facet_dofs = rank[np.concatenate(
             [fnodes, mesh.n_nodes + eids], axis=1
-        ).astype(np.int64)  # (nf, nfd)
+        )].astype(np.int64)  # (nf, nfd), in the shared interleaved order
         self.facet_dofs = facet_dofs
         self.plan = make_scatter_plan(facet_dofs, n_dofs)
 

@@ -111,7 +111,11 @@ def _const_entries(p2k, D, rho, dt, dtype):
 
 def build_p2_rd_const(plan: BellPlan, p2k, D, rho, dt, dtype, tables=None):
     """(nb, s, Kh) halo-ELL values of M + dt D K - dt rho M over P2."""
-    return plan.assemble(_const_entries(p2k, D, rho, dt, dtype), tables)
+    from glimslib_tpu.ops.bell import assemble_maybe_chunked
+
+    return assemble_maybe_chunked(
+        plan, _const_entries(p2k, D, rho, dt, dtype), tables
+    )
 
 
 def build_p2_rd_wc(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
@@ -129,7 +133,9 @@ def build_p2_rd_wc(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
     for k in range(npe):  # chunked over k: (npe, npe, nc) per term
         W = W + C[:, :, k, None] * ce[None, None, :, k]
     ent = ((2.0 * dt / conc_max) * rho * det)[None, None, :] * W
-    return plan.assemble(ent, tables)
+    from glimslib_tpu.ops.bell import assemble_maybe_chunked
+
+    return assemble_maybe_chunked(plan, ent, tables)
 
 
 def p2_mass_entries(p2k, dtype):

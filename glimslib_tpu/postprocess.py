@@ -62,9 +62,13 @@ class PostProcess:
     def get_concentration(self, recording_step):
         c = np.asarray(self._fields(recording_step)[1])
         if c.ndim == 1 and len(c) > self.mesh.n_nodes:
-            # P2 field (quad models): vertex dofs are the leading block and
-            # equal the function's vertex values
-            return c[: self.mesh.n_nodes]
+            # P2 field (quad models): extract vertex-dof values (equal to
+            # the function's vertex values) via the shared interleaved
+            # layout (ops/p2.py p2_dof_layout)
+            from glimslib_tpu.ops.p2 import p2_dof_layout
+
+            _, rank, _ = p2_dof_layout(self.mesh)
+            return c[rank[: self.mesh.n_nodes]]
         return c
 
     def cell_to_node(self, cell_vals):

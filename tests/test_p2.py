@@ -122,7 +122,7 @@ def test_quad_model_matches_p1_on_smooth_problem(tmp_path):
     s2.run(save_method=None, plot=False, output_dir=str(tmp_path / "p2"))
 
     c1 = np.asarray(s1.solution[1])
-    c2 = np.asarray(s2.solution[1])[: mesh.n_nodes]  # vertex part
+    c2 = np.asarray(s2.p2.vertex_part(s2.solution[1]))  # vertex part
     rel = np.linalg.norm(c1 - c2) / np.linalg.norm(c1)
     assert rel < 0.02, rel  # same PDE, different discretization accuracy
     u1 = np.asarray(s1.solution[0])

@@ -162,3 +162,58 @@ def test_streamed_p2_residual_matches_quadrature(setup):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_chunked_assembly_matches_plain(setup, monkeypatch):
+    """assemble_scalar_chunked == plan.assemble bit-for-bit on the same
+    entries (tiny threshold + tiny chunks force every lax.map path).  The
+    chunked route (parity to reduction round-off) is what makes the P2
+    flagship plan (248M dense slots) compile at all on the 16 GB chip — the one-shot gathers' lane-padded
+    intermediates plan as tens of GB (ops/bell.py assemble_scalar_chunked
+    docstring)."""
+    mesh, p2k, plan = setup
+    rng = np.random.default_rng(7)
+    D = jnp.asarray(0.1 + 0.02 * np.asarray(mesh.cell_midpoints)[:, 0])
+    rho = jnp.asarray(0.1 + 0.05 * np.asarray(mesh.cell_midpoints)[:, 1])
+    ent = p2_ell._const_entries(p2k, D, rho, 0.7, jnp.float64)
+
+    want = np.asarray(plan.assemble(ent))
+    got = np.asarray(bell_mod.assemble_scalar_chunked(
+        plan, ent, rows_per_chunk=1000
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-14, atol=1e-16)
+
+    # the size-gated router picks the chunked path above the threshold
+    monkeypatch.setenv("GLIMS_ASSEMBLE_CHUNK_SLOTS", "1")
+    got2 = np.asarray(bell_mod.assemble_maybe_chunked(plan, ent))
+    np.testing.assert_allclose(got2, want, rtol=1e-14, atol=1e-16)
+
+
+def test_p2_cache_per_channel_matches_dense(setup):
+    """build_p2_cache channels reduced with theta scalars == the dense
+    build_p2_rd_const plane (factored-vs-dense parity at the P2 level;
+    the flagship cache build runs per channel + chunked)."""
+    from glimslib_tpu.ops import bell_factored
+
+    mesh, p2k, plan = setup
+    labels = (np.asarray(mesh.points)[:, 0] > 0.5).astype(np.int64) + 1
+    cell_labels = labels[np.asarray(mesh.cells)[:, 0]]
+    D_by = {1: 0.02, 2: 0.1}
+    rho_by = {1: 0.03, 2: 0.2}
+    D = jnp.asarray([D_by[int(c)] for c in cell_labels])
+    rho = jnp.asarray([rho_by[int(c)] for c in cell_labels])
+    dt = 0.7
+
+    want = np.asarray(p2_ell.build_p2_rd_const(
+        plan, p2k, D, rho, dt, jnp.float64
+    ))
+    cache = bell_factored.build_p2_cache(
+        plan, p2k, cell_labels, jnp.float64, want_mass=False
+    )
+    theta = dict(cache)
+    theta.update({"D": D, "rho": rho, "dt": dt})
+    planes = bell_factored.p2_planes_from_theta(
+        theta, jnp.float64, want_mass=False
+    )
+    np.testing.assert_allclose(np.asarray(planes[0]), want,
+                               rtol=1e-13, atol=1e-13)
