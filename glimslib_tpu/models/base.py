@@ -495,8 +495,16 @@ class Simulation(ABC):
 
             from glimslib_tpu.ops import p2_ell
 
+            # P2 wants LARGER supernodes than P1: the per-matvec cost is
+            # halo-gather dominated (ext rows = nb*Khe), and Khe grows
+            # sublinearly in s — measured on the interleaved flagship
+            # plan: s=32 -> 1.81M ext rows + 267 MB stream (~4.9 ms
+            # model), s=64 -> 1.26M + 393 MB (~3.7 ms); s=128 saves only
+            # ~0.5 ms more while doubling table memory.
             self._p2_bell_plan = p2_ell.make_p2_plan(
-                self.p2, s=int(_os.environ.get("GLIMS_BELL_S", "32"))
+                self.p2, s=int(_os.environ.get(
+                    "GLIMS_P2_S", _os.environ.get("GLIMS_BELL_S", "64")
+                ))
             )
         return self._p2_bell_plan
 
