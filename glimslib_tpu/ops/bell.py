@@ -119,13 +119,23 @@ class BellPlan:
     shard_ctx = None
 
     def __init__(self, mesh=None, s: int = 32, conn=None, n=None,
-                 prefix: str = "_Bell"):
+                 prefix: str = "_Bell", halo_chunk: int = 1):
         if mesh is not None:
             cells = np.asarray(mesh.cells, dtype=np.int64)
             n = mesh.n_nodes
         else:
             cells = np.asarray(conn, dtype=np.int64)
         self.prefix = prefix
+        # CHUNK-ALIGNED halo (halo_chunk = G > 1): external slots come in
+        # aligned groups of G consecutive dof ids and the halo gather
+        # pulls (G,)-wide rows of x.reshape(-1, G) — one random access per
+        # CHUNK instead of per dof.  The gather is row-RATE bound
+        # (~0.2-0.4 G rows/s regardless of width <= 8 — CLAUDE perf
+        # model), and on a Morton-interleaved dof space externals form
+        # consecutive-id runs, so G=4 cuts the dominant P2 matvec cost
+        # ~3x for ~30-40% more (zero-padded) table slots.  Slots covering
+        # uncoupled dofs carry zero operator entries — exact.
+        self.halo_chunk = G = max(int(halo_chunk), 1)
         nc, npe = cells.shape
         self.n = n
         self.npe = npe
@@ -160,28 +170,58 @@ class BellPlan:
         # br are nondecreasing)
         br = ur // s
         bounds = np.searchsorted(br, np.arange(nb + 1))
-        exts = []
-        for b in range(nb):
-            h = np.unique(uc[bounds[b]:bounds[b + 1]])
-            exts.append(h[(h < b * s) | (h >= (b + 1) * s)])
-        Khe = max((len(e) for e in exts), default=0)
-        self.Khe = Khe
-        self.Kh = Kh = s + Khe
-        ext_ids = np.full((nb, max(Khe, 1)), n, dtype=np.int32)  # sentinel n
-        for b, e in enumerate(exts):
-            ext_ids[b, : len(e)] = e
-        self.ext_ids = ext_ids[:, :Khe]
+        if G == 1:
+            exts = []
+            for b in range(nb):
+                h = np.unique(uc[bounds[b]:bounds[b + 1]])
+                exts.append(h[(h < b * s) | (h >= (b + 1) * s)])
+            Khe = max((len(e) for e in exts), default=0)
+            self.Khe = Khe
+            self.khe_rows = Khe  # gather rows per block == dof slots
+            self.Kh = Kh = s + Khe
+            ext_ids = np.full((nb, max(Khe, 1)), n, dtype=np.int32)
+            for b, e in enumerate(exts):
+                ext_ids[b, : len(e)] = e
+            self.ext_ids = ext_ids[:, :Khe]
 
-        # kh slot of each unique pair's column: own -> local index,
-        # external -> s + position in the block's sorted external halo
-        kh_u = np.empty(len(uniq), dtype=np.int64)
-        for b in range(nb):
-            sl = slice(bounds[b], bounds[b + 1])
-            c = uc[sl]
-            own = (c >= b * s) & (c < (b + 1) * s)
-            kh_u[sl] = np.where(
-                own, c - b * s, s + np.searchsorted(exts[b], c)
-            )
+            # kh slot of each unique pair's column: own -> local index,
+            # external -> s + position in the block's sorted ext halo
+            kh_u = np.empty(len(uniq), dtype=np.int64)
+            for b in range(nb):
+                sl = slice(bounds[b], bounds[b + 1])
+                c = uc[sl]
+                own = (c >= b * s) & (c < (b + 1) * s)
+                kh_u[sl] = np.where(
+                    own, c - b * s, s + np.searchsorted(exts[b], c)
+                )
+        else:
+            # chunked halo: external slots are whole aligned G-chunks;
+            # slot of dof c = s + (chunk position)*G + c%G
+            n_chunks_tot = -(-n // G)
+            chls = []
+            for b in range(nb):
+                h = np.unique(uc[bounds[b]:bounds[b + 1]])
+                h = h[(h < b * s) | (h >= (b + 1) * s)]
+                chls.append(np.unique(h // G))
+            khe_rows = max((len(c) for c in chls), default=0)
+            self.khe_rows = khe_rows  # gather rows per block (chunks)
+            self.Khe = Khe = khe_rows * G  # dof slots per block
+            self.Kh = Kh = s + Khe
+            # sentinel = n_chunks_tot -> the zero row of the padded
+            # (n_chunks_tot + 1, G) gather source
+            ext_ids = np.full((nb, max(khe_rows, 1)), n_chunks_tot,
+                              dtype=np.int32)
+            for b, ch in enumerate(chls):
+                ext_ids[b, : len(ch)] = ch
+            self.ext_ids = ext_ids[:, :khe_rows]
+
+            kh_u = np.empty(len(uniq), dtype=np.int64)
+            for b in range(nb):
+                sl = slice(bounds[b], bounds[b + 1])
+                c = uc[sl]
+                own = (c >= b * s) & (c < (b + 1) * s)
+                pos = np.searchsorted(chls[b], c // G)
+                kh_u[sl] = np.where(own, c - b * s, s + pos * G + c % G)
         dense_slot = (ur * Kh + kh_u)  # (b*s + i_loc) * Kh + kh
 
         # -- class-split assembly plans (see module docstring) -------------
@@ -217,7 +257,14 @@ class BellPlan:
         own = (np.arange(self.nb)[:, None] * self.s
                + np.arange(self.s)[None, :])
         own = np.where(own < self.n, own, self.n).astype(np.int32)
-        return np.concatenate([own, self.ext_ids], axis=1)
+        if self.halo_chunk == 1:
+            ext = self.ext_ids
+        else:
+            G = self.halo_chunk
+            ext = (self.ext_ids[:, :, None].astype(np.int64) * G
+                   + np.arange(G)[None, None, :]).reshape(self.nb, -1)
+            ext = np.where(ext < self.n, ext, self.n).astype(np.int32)
+        return np.concatenate([own, ext], axis=1)
 
     def tables(self, prefix: str = None):
         """Plan arrays to thread as jit ARGUMENTS (via theta/aux): tens of
@@ -567,23 +614,42 @@ def build_bell_rd_wc_lumped(plan: BellPlan, mesh_arrays, cells_T, c, rho,
 
 
 def _halo_vector(plan: BellPlan, ext_ids, x):
-    """(nb, Kh*d) halo operand: own slots by reshape, external by gather."""
+    """(nb, Kh*d) halo operand: own slots by reshape, external by gather
+    (chunk rows of x.reshape(-1, G*d) when the plan uses a chunked halo)."""
     n, d = x.shape
-    nb, s = plan.nb, plan.s
+    nb, s, G = plan.nb, plan.s, plan.halo_chunk
     xo = jnp.pad(x, ((0, plan.n_pad - n), (0, 0))).reshape(nb, s * d)
-    xp = jnp.pad(x, ((0, 1), (0, 0)))
-    xe = jnp.take(xp, ext_ids.ravel(), axis=0).reshape(nb, plan.Khe * d)
+    if G == 1:
+        xp = jnp.pad(x, ((0, 1), (0, 0)))
+        xe = jnp.take(xp, ext_ids.ravel(), axis=0).reshape(
+            nb, plan.Khe * d
+        )
+    else:
+        nch = -(-n // G)
+        xp = jnp.pad(x, ((0, nch * G - n), (0, 0))).reshape(nch, G * d)
+        xp = jnp.pad(xp, ((0, 1), (0, 0)))  # zero sentinel chunk
+        xe = jnp.take(xp, ext_ids.ravel(), axis=0).reshape(
+            nb, plan.Khe * d
+        )
     return jnp.concatenate([xo, xe], axis=1)
 
 
 def _halo_scalar(plan: BellPlan, ext_ids, x):
-    """(nb, Kh) halo operand; width-2 duplicated rows keep the external
-    gather on the fast row path."""
+    """(nb, Kh) halo operand; width-2 duplicated rows (or (G,)-wide chunk
+    rows) keep the external gather on the fast row path."""
     n = x.shape[0]
-    nb, s = plan.nb, plan.s
+    nb, s, G = plan.nb, plan.s, plan.halo_chunk
     xo = jnp.pad(x, (0, plan.n_pad - n)).reshape(nb, s)
-    xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
-    xe = jnp.take(xp, ext_ids.ravel(), axis=0)[:, 0].reshape(nb, plan.Khe)
+    if G == 1:
+        xp = jnp.pad(jnp.stack([x, x], axis=-1), ((0, 1), (0, 0)))
+        xe = jnp.take(xp, ext_ids.ravel(), axis=0)[:, 0].reshape(
+            nb, plan.Khe
+        )
+    else:
+        nch = -(-n // G)
+        xp = jnp.pad(x, (0, nch * G - n)).reshape(nch, G)
+        xp = jnp.pad(xp, ((0, 1), (0, 0)))  # zero sentinel chunk
+        xe = jnp.take(xp, ext_ids.ravel(), axis=0).reshape(nb, plan.Khe)
     return jnp.concatenate([xo, xe], axis=1)
 
 

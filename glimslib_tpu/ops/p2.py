@@ -104,6 +104,40 @@ class P2Kernels:
         self.cell_dofs = jnp.asarray(cell_dofs)
         self.npe = cell_dofs.shape[1]
         self.plan = make_scatter_plan(cell_dofs, self.n_dofs)
+        # cell-axis-LAST twin (SoA; lanes are 128-wide trailing — CLAUDE
+        # perf model): the hot quadrature kernels keep every per-cell
+        # tensor (…, nc) so the small npe/nq/d axes never land on lanes
+        # (an (nc, npe) minor pads 10 -> 128, 12.8x the HBM traffic —
+        # measured 53 ms -> ~4 ms on the 196k-tet flagship residual)
+        self.cell_dofs_T = jnp.asarray(np.ascontiguousarray(cell_dofs.T))
+        self.plan_T = make_scatter_plan(cell_dofs.T, self.n_dofs)
+        # CLASS-SPLIT accumulation: one pull plan per dof-multiplicity
+        # class.  P2 mixes vertex dofs (~24 incident tets) with edge dofs
+        # (~6): a single plan pads EVERY dof to K=24 — 6.6M gathered rows
+        # per accumulate at the 196k-tet flagship against 1.96M real
+        # incidences.  Splitting at K=8 gathers 0.9M + 1.4M rows plus one
+        # 274k combine gather (~2.6M total, measured 46 -> ~20 ms per
+        # accumulate).  Entry order is cell_dofs_T (dof-slot-major).
+        from glimslib_tpu.ops.assembly import make_scatter_plan_dropping
+
+        counts = np.bincount(cell_dofs.ravel(), minlength=self.n_dofs)
+        flatT = cell_dofs.T.ravel().astype(np.int64)
+        lo = counts <= 8
+        self._class_plans = []
+        order = []
+        for member in (lo, ~lo):
+            ids = np.where(member)[0]
+            if len(ids) == 0:
+                continue
+            rank_c = np.full(self.n_dofs, len(ids), dtype=np.int64)
+            rank_c[ids] = np.arange(len(ids))
+            self._class_plans.append(
+                make_scatter_plan_dropping(rank_c[flatT], len(ids))
+            )
+            order.append(ids)
+        pos = np.empty(self.n_dofs, dtype=np.int64)
+        pos[np.concatenate(order)] = np.arange(self.n_dofs)
+        self._class_unperm = jnp.asarray(pos)
 
         qp, qw = simplex_quadrature(mesh.dim, quad_degree)
         el = P2Element(mesh.dim)
@@ -116,6 +150,12 @@ class P2Kernels:
         )  # (nc,)
         # affine map: A[e, a, d] = grad(lambda_{a+1})  (P1 gradient table)
         self.A = jnp.asarray(mesh.cell_grads[:, 1:, :], dtype)  # (nc, d, d)
+        # cell-last twin for the hot kernels: A_T[a, d, nc]
+        self.A_T = jnp.asarray(
+            np.ascontiguousarray(
+                np.transpose(np.asarray(mesh.cell_grads[:, 1:, :]), (1, 2, 0))
+            ), dtype
+        )
 
         # dof coordinates (for IVs/targets), in the interleaved dof order
         self.dof_coords = np.concatenate(
@@ -139,6 +179,25 @@ class P2Kernels:
             self.n_cells, self.npe, 2
         )
 
+    def gather_T(self, f):
+        """(npe, nc) cell-dof values, CELL AXIS LAST (fast row-gather +
+        SoA layout for the hot kernels)."""
+        pack = jnp.stack([f, f], axis=-1)
+        return jnp.take(pack, self.cell_dofs_T.ravel(), axis=0).reshape(
+            self.npe, self.n_cells, 2
+        )[..., 0]
+
+    def gather2_T(self, f, f2):
+        """Row-gather two fields at once, cell last: -> (npe, nc, 2)."""
+        pack = jnp.stack([f, f2], axis=-1)
+        return jnp.take(pack, self.cell_dofs_T.ravel(), axis=0).reshape(
+            self.npe, self.n_cells, 2
+        )
+
+    def at_quad_T(self, feT):
+        """(npe, nc) dof values -> (nq, nc) values at quadrature points."""
+        return jnp.sum(self.vals[:, :, None] * feT[None], axis=1)
+
     def at_quad(self, fe):
         """(nc, npe) dof values -> (nc, nq) values at quadrature points."""
         return jnp.sum(self.vals[None] * fe[:, None, :], axis=-1)
@@ -156,67 +215,99 @@ class P2Kernels:
         """(nc, npe) element contributions -> (n_dofs,)."""
         return scatter(self.plan, contrib.reshape(-1))
 
+    def scatter_T(self, contrib_T):
+        """(npe, nc) cell-last contributions -> (n_dofs,), via the
+        class-split pull plans (see __init__) + one combine gather."""
+        flat = contrib_T.ravel()
+        outs = [scatter(p, flat) for p in self._class_plans]
+        full = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        pack = jnp.stack([full, full], axis=-1)
+        return jnp.take(pack, self._class_unperm, axis=0)[..., 0]
+
     def _wdet(self):
         return self.qw[None, :] * self.detJ[:, None]  # (nc, nq)
 
     # -- residuals -----------------------------------------------------------
 
     def rd_residual(self, c, c_prev, D, rho, dt, source=0.0, conc_max=1.0):
-        """Implicit-Euler Fisher-KPP residual for P2 c, by quadrature."""
-        ge = self.gather2(c, c_prev)
-        ce = ge[..., 0]
-        cpe = ge[..., 1]
-        D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (self.n_cells,))
-        rho = jnp.broadcast_to(jnp.asarray(rho, self.dtype), (self.n_cells,))
-        source = jnp.broadcast_to(jnp.asarray(source, self.dtype), (self.n_cells,))
-        wdet = self._wdet()  # (nc, nq)
+        """Implicit-Euler Fisher-KPP residual for P2 c, by quadrature.
 
-        cq = self.at_quad(ce)
-        cpq = self.at_quad(cpe)
-        # mass + logistic + source pointwise factor
+        CELL AXIS LAST throughout: every per-cell tensor is (..., nc), so
+        the small npe/nq/d axes never ride the 128-lane minor dim — the
+        (nc, npe)-minor formulation lane-pads 10 -> 128 and cost 53 ms at
+        196k tets against a ~4 ms roofline (round-5 measurement).  Small
+        static axes reduce via Python loops of (..., nc) fma passes,
+        never einsum (CLAUDE.md: bf16 MXU dots)."""
+        nq, npe, d = self.vals.shape[0], self.npe, self.dim
+        nc = self.n_cells
+        ge = self.gather2_T(c, c_prev)  # (npe, nc, 2)
+        ceT = ge[..., 0]
+        cpT = ge[..., 1]
+        D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (nc,))
+        rho = jnp.broadcast_to(jnp.asarray(rho, self.dtype), (nc,))
+        source = jnp.broadcast_to(jnp.asarray(source, self.dtype), (nc,))
+        wdet = self.qw[:, None] * self.detJ[None, :]  # (nq, nc)
+
+        cq = self.at_quad_T(ceT)  # (nq, nc)
+        cpq = self.at_quad_T(cpT)
         point = (
             (cq - cpq)
-            - dt * rho[:, None] * cq * (1.0 - cq / conc_max)
-            - dt * source[:, None]
-        )  # (nc, nq)
-        mass_term = jnp.sum(
-            (wdet * point)[:, :, None] * self.vals[None], axis=1
-        )  # (nc, npe)
-        # stiffness: dt D sum_q w detJ grad_c . grad_phi_i
-        grad_c = self.phys_grad_at_quad(ce)  # (nc, nq, d)
-        # grad_phi_i physical: rgrads[q,i,a] A[e,a,d]; contract d first:
-        t = jnp.sum(grad_c[:, :, None, :] * self.A[:, None, :, :], axis=-1)
-        # t[e, q, a] = sum_d grad_c[e,q,d] A[e,a,d]
-        stiff = jnp.sum(
-            (wdet)[:, :, None, None] * self.rgrads[None] * t[:, :, None, :],
-            axis=(1, 3),
-        )  # (nc, npe)
-        contrib = mass_term + (dt * D)[:, None] * stiff
-        return self._accumulate(contrib)
+            - dt * rho[None, :] * cq * (1.0 - cq / conc_max)
+            - dt * source[None, :]
+        )  # (nq, nc)
+        wp = wdet * point
+        mass_T = jnp.sum(self.vals[:, :, None] * wp[:, None, :], axis=0)
+        # stiffness, cell last:
+        #   rgq[q,a,nc] = Σ_i rgrads[q,i,a] ce[i,nc]     (ref-space grad)
+        #   gc[q,d,nc]  = Σ_a rgq[q,a,nc] A_T[a,d,nc]    (physical grad)
+        #   t[q,a,nc]   = Σ_d gc[q,d,nc] A_T[a,d,nc]
+        #   stiff[i,nc] = Σ_{q,a} wdet[q,nc] rgrads[q,i,a] t[q,a,nc]
+        rgq = jnp.zeros((nq, d, nc), self.dtype)
+        for i in range(npe):
+            rgq = rgq + self.rgrads[:, i, :, None] * ceT[i][None, None, :]
+        gc = jnp.zeros((nq, d, nc), self.dtype)
+        for a in range(d):
+            gc = gc + rgq[:, a, None, :] * self.A_T[a][None, :, :]
+        t = jnp.zeros((nq, d, nc), self.dtype)
+        for dd in range(d):
+            t = t + gc[:, dd, None, :] * self.A_T[:, dd][None, :, :]
+        wt = wdet[:, None, :] * t  # (nq, a, nc)
+        stiff_T = jnp.stack([
+            jnp.sum(self.rgrads[:, i, :, None] * wt, axis=(0, 1))
+            for i in range(npe)
+        ])  # (npe, nc)
+        contrib_T = mass_T + (dt * D)[None, :] * stiff_T
+        return self.scatter_T(contrib_T)
 
     def rd_mass_stiffness_diag(self, D, rho, dt):
-        """Jacobi diagonal of (M + dt D K) (preconditioner only)."""
-        D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (self.n_cells,))
-        wdet = self._wdet()
-        mdiag = jnp.sum(wdet[:, :, None] * self.vals[None] ** 2, axis=1)
-        # physical basis gradient pg[c,q,i,d] = sum_a rgrads[q,i,a] A[c,a,d];
-        # broadcast mul+reduce (never einsum on TPU — bf16 MXU dots, CLAUDE.md)
-        pg = jnp.sum(
-            self.rgrads[None, :, :, :, None] * self.A[:, None, None, :, :],
-            axis=3,
-        )  # (nc, nq, npe, d)
-        g2 = jnp.sum(pg * pg, axis=-1)  # (nc, nq, npe)
-        kdiag = jnp.sum(wdet[:, :, None] * g2, axis=1)
-        contrib = mdiag + (dt * D)[:, None] * kdiag
-        return self._accumulate(contrib)
+        """Jacobi diagonal of (M + dt D K) (preconditioner only); cell
+        axis last (see rd_residual)."""
+        nq, npe, d = self.vals.shape[0], self.npe, self.dim
+        nc = self.n_cells
+        D = jnp.broadcast_to(jnp.asarray(D, self.dtype), (nc,))
+        wdet = self.qw[:, None] * self.detJ[None, :]  # (nq, nc)
+        mdiag_T = jnp.sum(
+            (self.vals ** 2)[:, :, None] * wdet[:, None, :], axis=0
+        )  # (npe, nc)
+        # physical basis gradient per i: pg[q,d,nc] = Σ_a rgrads[q,i,a]
+        # A_T[a,d,nc]; kdiag[i,nc] = Σ_{q,d} wdet pg²
+        rows = []
+        for i in range(npe):
+            pg = jnp.zeros((nq, d, nc), self.dtype)
+            for a in range(d):
+                pg = pg + self.rgrads[:, i, a][:, None, None] \
+                    * self.A_T[a][None, :, :]
+            rows.append(jnp.sum(wdet[:, None, :] * pg * pg, axis=(0, 1)))
+        kdiag_T = jnp.stack(rows)  # (npe, nc)
+        contrib_T = mdiag_T + (dt * D)[None, :] * kdiag_T
+        return self.scatter_T(contrib_T)
 
     def mass_residual(self, c):
-        ce = self.gather(c)
-        cq = self.at_quad(ce)
-        contrib = jnp.sum(
-            (self._wdet() * cq)[:, :, None] * self.vals[None], axis=1
-        )
-        return self._accumulate(contrib)
+        ceT = self.gather_T(c)  # (npe, nc)
+        cq = self.at_quad_T(ceT)  # (nq, nc)
+        wq = (self.qw[:, None] * self.detJ[None, :]) * cq
+        contrib_T = jnp.sum(self.vals[:, :, None] * wq[:, None, :], axis=0)
+        return self.scatter_T(contrib_T)
 
     def lumped_mass(self):
         """Row-sum lumped mass (positive for P2 via abs-row-sum fallback)."""
@@ -235,8 +326,8 @@ class P2Kernels:
 
     def cell_integral(self, c):
         """∫_e c dx per cell (nc,) — feeds the growth-strain coupling."""
-        cq = self.at_quad(self.gather(c))
-        return jnp.sum(self._wdet() * cq, axis=1)
+        cq = self.at_quad_T(self.gather_T(c))  # (nq, nc)
+        return jnp.sum((self.qw[:, None] * self.detJ[None, :]) * cq, axis=0)
 
     def integrate(self, c):
         return jnp.sum(self.cell_integral(c))

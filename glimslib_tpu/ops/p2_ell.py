@@ -68,12 +68,21 @@ def p2_ref_tensors(dim: int, quad_degree: int = 6):
 
 
 def make_p2_plan(p2k, s: int = 32):
-    """Supernode halo-ELL plan over the P2 dof space (vertices + edge
-    midpoints, ops/p2.py dof layout).  Edge dofs are ordered by their
-    sorted-vertex-pair id, so on a Morton-reordered mesh both dof families
-    are spatially coherent and contiguous supernode blocks stay compact."""
+    """Supernode halo-ELL plan over the P2 dof space (interleaved-Morton
+    dof layout, ops/p2.py p2_dof_layout: vertex and edge dofs numbered
+    together in spatial order, so contiguous supernode blocks stay
+    compact — see the layout table in docs/numerics.md).
+
+    The halo is CHUNK-ALIGNED by default (``GLIMS_P2_HALO_CHUNK``, 4):
+    the P2 matvec is halo-gather-row bound, and on the interleaved dof
+    space externals form consecutive-id runs, so gathering aligned
+    4-dof rows cuts the dominant per-CG-iteration cost ~3x for ~30-40%
+    more zero-padded table slots (ops/bell.py BellPlan halo_chunk)."""
+    import os
+
     return BellPlan(
-        conn=np.asarray(p2k.cell_dofs), n=p2k.n_dofs, s=s, prefix="_P2B"
+        conn=np.asarray(p2k.cell_dofs), n=p2k.n_dofs, s=s, prefix="_P2B",
+        halo_chunk=int(os.environ.get("GLIMS_P2_HALO_CHUNK", "4")),
     )
 
 
@@ -128,10 +137,10 @@ def build_p2_rd_wc(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
     C = jnp.asarray(C_, dtype)
     _, det = _geom(p2k, dtype)
     rho = jnp.broadcast_to(jnp.asarray(rho, dtype), (nc,))
-    ce = p2k.gather(jnp.asarray(c, dtype))  # (nc, npe)
+    ceT = p2k.gather_T(jnp.asarray(c, dtype))  # (npe, nc) cell-last
     W = jnp.zeros((npe, npe, nc), dtype)
     for k in range(npe):  # chunked over k: (npe, npe, nc) per term
-        W = W + C[:, :, k, None] * ce[None, None, :, k]
+        W = W + C[:, :, k, None] * ceT[k][None, None, :]
     ent = ((2.0 * dt / conc_max) * rho * det)[None, None, :] * W
     from glimslib_tpu.ops.bell import assemble_maybe_chunked
 
@@ -155,22 +164,21 @@ def p2_cubic_residual(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
     equals the quadrature evaluation to round-off).  Accumulated per dof
     through the plan's diag pull; the contraction runs as npe chunked
     (nc, npe) fma passes (never einsum — CLAUDE.md)."""
-    _, _, C_ = p2_ref_tensors(p2k.dim)
-    C = jnp.asarray(C_, dtype)  # (i, j, k)
     nc, npe = p2k.n_cells, p2k.npe
     _, det = _geom(p2k, dtype)
     rho = jnp.broadcast_to(jnp.asarray(rho, dtype), (nc,))
-    ce = p2k.gather(jnp.asarray(c, dtype))  # (nc, npe)
-    q = jnp.zeros((nc, npe), dtype)
-    for k in range(npe):
-        Bk = jnp.sum(C[None, :, :, k] * ce[:, None, :], axis=2)  # (nc, i)
-        q = q + Bk * ce[:, k][:, None]
-    contrib = ((dt / conc_max) * rho * det)[:, None] * q  # (nc, i)
-    diag_pull = (
-        tables[plan.prefix + "DiagPull"] if tables is not None
-        else jnp.asarray(plan.diag_plan.pull_table)
-    )
-    return pull_accumulate(diag_pull.ravel(), plan.n, contrib.T.ravel())
+    # quadrature form, CELL AXIS LAST: q_i = Σ_q w φ_i(q) c(q)² — exactly
+    # Σ_jk C[i,j,k] c_j c_k with C = Σ_q w φφφ (same degree-6 rule), but
+    # without the (nc, npe, npe) lane-padded intermediates of the tensor
+    # contraction (measured 49 ms -> ~1 ms at 196k tets)
+    ceT = p2k.gather_T(jnp.asarray(c, dtype))  # (npe, nc)
+    cq = p2k.at_quad_T(ceT)  # (nq, nc)
+    w = ((dt / conc_max) * rho * det)[None, :] * p2k.qw[:, None]  # (nq, nc)
+    wq = w * cq * cq
+    contrib_T = jnp.sum(p2k.vals[:, :, None] * wq[:, None, :], axis=0)
+    # class-split accumulate (P2Kernels.scatter_T): the flat diag pull
+    # pads every dof to the vertex multiplicity (~24) — 2.5x the rows
+    return p2k.scatter_T(contrib_T)
 
 
 def build_p2_rd_wc_lumped(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
@@ -184,13 +192,10 @@ def build_p2_rd_wc_lumped(plan: BellPlan, p2k, c, rho, dt, conc_max, dtype,
     M0 = jnp.asarray(M0_, dtype)
     _, det = _geom(p2k, dtype)
     rho = jnp.broadcast_to(jnp.asarray(rho, dtype), (nc,))
-    ce = p2k.gather(jnp.asarray(c, dtype))  # (nc, npe)
-    rowsum = jnp.sum(M0[None, :, :] * ce[:, None, :], axis=2)  # (nc, i)
-    contrib = ((2.0 * dt / conc_max) * rho * det)[:, None] * rowsum
-    diag_pull = (
-        tables[plan.prefix + "DiagPull"] if tables is not None
-        else jnp.asarray(plan.diag_plan.pull_table)
-    )
-    # contribution entry order must match diag_plan's (conn.T.ravel():
-    # dof-slot-major) — contrib is (nc, npe), transpose first
-    return pull_accumulate(diag_pull.ravel(), plan.n, contrib.T.ravel())
+    # CELL AXIS LAST: rowsum[i, nc] = Σ_k M0[i,k] ce[k, nc] as one
+    # (npe, npe, nc) broadcast mul+reduce (minor axis stays nc)
+    ceT = p2k.gather_T(jnp.asarray(c, dtype))  # (npe, nc)
+    rowsum_T = jnp.sum(M0[:, :, None] * ceT[None, :, :], axis=1)
+    contrib_T = ((2.0 * dt / conc_max) * rho * det)[None, :] * rowsum_T
+    # class-split accumulate (see p2_cubic_residual)
+    return p2k.scatter_T(contrib_T)

@@ -217,3 +217,27 @@ def test_p2_cache_per_channel_matches_dense(setup):
     )
     np.testing.assert_allclose(np.asarray(planes[0]), want,
                                rtol=1e-13, atol=1e-13)
+
+
+def test_chunked_halo_matches_flat(setup):
+    """A halo_chunk=4 plan's assembled matvec == the flat-halo plan's
+    (identical operator, chunk-padded slots carry zeros) — the layout
+    that makes the flagship P2 matvec halo-gather cost ~G x cheaper."""
+    mesh, p2k, plan = setup
+    from glimslib_tpu.ops.bell import BellPlan, apply_bell_scalar
+
+    plan4 = BellPlan(conn=np.asarray(p2k.cell_dofs), n=p2k.n_dofs, s=16,
+                     prefix="_P2B", halo_chunk=4)
+    assert plan4.Khe == plan4.khe_rows * 4
+    rng = np.random.default_rng(11)
+    D = jnp.asarray(0.1 + 0.02 * np.asarray(mesh.cell_midpoints)[:, 0])
+    rho = jnp.asarray(0.1 + 0.05 * np.asarray(mesh.cell_midpoints)[:, 1])
+    v = jnp.asarray(rng.standard_normal(p2k.n_dofs))
+
+    W1 = p2_ell.build_p2_rd_const(plan, p2k, D, rho, 0.7, jnp.float64)
+    W4 = p2_ell.build_p2_rd_const(plan4, p2k, D, rho, 0.7, jnp.float64)
+    y1 = np.asarray(apply_bell_scalar(
+        plan, jnp.asarray(plan.ext_ids), W1, v))
+    y4 = np.asarray(apply_bell_scalar(
+        plan4, jnp.asarray(plan4.ext_ids), W4, v))
+    np.testing.assert_allclose(y4, y1, rtol=1e-12, atol=1e-13)
